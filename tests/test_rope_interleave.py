@@ -1,0 +1,101 @@
+"""3D rope parity vs the reference (torch oracle) and interleave layout tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttt_video_dit_tpu.models.sequence import SequenceMetadata
+from ttt_video_dit_tpu.models.ttt.interleave import interleave, reverse_text_chunks, undo_interleave
+from ttt_video_dit_tpu.ops.rope import apply_rope, precompute_rope_3d
+
+from tests.reference_oracle import load_reference, reference_available
+
+needs_reference = pytest.mark.skipif(not reference_available(), reason="reference checkout not available")
+
+
+@needs_reference
+def test_rope_matches_reference_ttt_path(rng):
+    """Our rope == reference complex-valued apply_rotary_emb
+    (reference: ttt/models/ssm/utils.py:9-108)."""
+    import torch
+
+    _, ref_ssm = load_reference()
+    F, H_lat, W_lat, T = 64, 4, 6, 3
+    L = T * H_lat * W_lat
+    xq = rng.standard_normal((2, L, 3, F)).astype(np.float32)  # [B, L, H, F]
+    xk = rng.standard_normal((2, L, 3, F)).astype(np.float32)
+
+    freqs_cis = ref_ssm.precompute_freqs_cis_3d(F, H_lat, W_lat, T, 10000.0)
+    rq, rk = ref_ssm.apply_rotary_emb(torch.tensor(xq), torch.tensor(xk), freqs_cis=freqs_cis)
+
+    cos, sin = precompute_rope_3d(F, H_lat, W_lat, T, 10000.0)
+    # apply_rope expects [..., L, F]: move heads before tokens.
+    oq = np.asarray(jnp.moveaxis(apply_rope(jnp.moveaxis(jnp.asarray(xq), 2, 1), cos, sin), 1, 2))
+    ok = np.asarray(jnp.moveaxis(apply_rope(jnp.moveaxis(jnp.asarray(xk), 2, 1), cos, sin), 1, 2))
+
+    np.testing.assert_allclose(oq, rq.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ok, rk.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@needs_reference
+def test_rope_matches_reference_attention_path(rng):
+    """Our rope == reference Rotary3DPositionEmbedding (interleaved real form,
+    reference: ttt/models/cogvideo/utils.py:363-437)."""
+    import torch
+
+    ref_cog, _ = load_reference()
+    F, H_lat, W_lat, T = 32, 5, 3, 4
+    rot = ref_cog.Rotary3DPositionEmbedding(H_lat, W_lat, T, F, theta=10000)
+
+    L = T * H_lat * W_lat
+    x = rng.standard_normal((2, 3, L, F)).astype(np.float32)  # [B, H, L, F]
+    ref_out = rot(torch.tensor(x)).numpy()
+
+    cos, sin = precompute_rope_3d(F, H_lat, W_lat, T, 10000.0)
+    ours = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-5, atol=1e-5)
+
+
+def _meta(text_length=3, num_frames=7, num_chunks=3, tokens_per_frame=2):
+    return SequenceMetadata(
+        text_length=text_length,
+        num_frames=num_frames,
+        num_chunks=num_chunks,
+        tokens_per_frame=tokens_per_frame,
+        latent_height=2,
+        latent_width=2,
+    )
+
+
+def test_interleave_round_trip(rng):
+    meta = _meta()
+    L = meta.seq_text_length + meta.num_video_tokens
+    x = jnp.asarray(rng.standard_normal((2, L, 5)).astype(np.float32))
+    out = undo_interleave(interleave(x, meta), meta)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_interleave_layout():
+    """Token-level check of the interleaved order, including the first scene
+    absorbing the remainder frames (reference: cogvideo/utils.py:16-26)."""
+    meta = _meta(text_length=2, num_frames=7, num_chunks=3, tokens_per_frame=1)
+    # frames_per_chunk = 2, extra = 1 -> first scene has 3 frames.
+    stl = meta.seq_text_length  # 6
+    L = stl + 7
+    # Tokens labeled: text scene i token j -> 100*i + j; video frame f -> 200+f
+    labels = np.array([100, 101, 110, 111, 120, 121] + [200 + f for f in range(7)], np.float32)
+    labels[2:4] = [110, 111]
+    labels[4:6] = [120, 121]
+    x = jnp.asarray(labels.reshape(1, L, 1))
+    out = np.asarray(interleave(x, meta)).reshape(-1)
+    expected = [100, 101, 200, 201, 202, 110, 111, 203, 204, 120, 121, 205, 206]
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_reverse_text_chunks():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 6, 2))  # 3 chunks of 2 tokens
+    out = np.asarray(reverse_text_chunks(x, 3)).reshape(6, 2)
+    expected = np.arange(12, dtype=np.float32).reshape(3, 2, 2)[::-1].reshape(6, 2)
+    np.testing.assert_array_equal(out, expected)
+    # Involution
+    np.testing.assert_array_equal(np.asarray(reverse_text_chunks(reverse_text_chunks(x, 3), 3)), np.asarray(x))

@@ -1,0 +1,394 @@
+"""CogVideoX-style diffusion transformer with segment-local attention and
+bidirectional gated TTT layers — TPU-first flax implementation.
+
+Re-design of the reference's DiT (reference: ttt/models/cogvideo/dit.py):
+
+- The per-chunk Python attention loop (reference: dit.py:163-211) becomes one
+  *batched* attention over statically-gathered overlapping windows, with the
+  overlap-averaged stitch expressed as a static scatter-add — no dynamic
+  shapes, everything tiles onto the MXU.
+- Remat flags map to ``flax.linen.remat`` (XLA rematerialization) instead of
+  ``torch.utils.checkpoint`` wrappers (reference: dit.py:269-276, 321-327,
+  487-502).
+- Tensor/sequence parallelism is expressed with sharding constraints
+  (mesh axes in parallel/mesh.py) instead of DTensor module wrapping.
+
+Layout conventions: video latents enter as [B, T, C, H, W] (matching the
+reference's data format); internally patches are embedded NHWC (TPU-native
+conv layout).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttt_video_dit_tpu.config.model_config import ModelConfig
+from ttt_video_dit_tpu.models.dit.schedule import timestep_embedding
+from ttt_video_dit_tpu.models.sequence import SequenceMetadata
+from ttt_video_dit_tpu.models.ttt.interleave import reverse_text_chunks
+from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
+from ttt_video_dit_tpu.ops.ln import gelu_tanh
+from ttt_video_dit_tpu.ops.rope import apply_rope, precompute_rope_3d
+from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
+
+_init_normal = nn.initializers.normal(stddev=0.02)
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation: x * (1 + scale) + shift, broadcast over tokens."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class PatchEmbedding(nn.Module):
+    """2x2 conv patchify of video latents + linear text projection
+    (reference: dit.py:17-40)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, video, text_encoding):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        B, T, C, H, W = video.shape
+
+        vid = jnp.transpose(video.reshape(B * T, C, H, W), (0, 2, 3, 1))  # NHWC
+        vid = nn.Conv(
+            cfg.model_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name="vid_proj",
+        )(vid.astype(dtype))
+        vid = vid.reshape(B, T * (H // cfg.patch_size) * (W // cfg.patch_size), cfg.model_dim)
+
+        text = nn.Dense(cfg.model_dim, dtype=dtype, param_dtype=jnp.float32, name="text_proj")(
+            text_encoding.astype(dtype)
+        )
+        return text, vid
+
+
+class MLP(nn.Module):
+    """4x GELU-tanh MLP (reference: dit.py:43-87)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        x = nn.Dense(4 * cfg.model_dim, dtype=dtype, param_dtype=jnp.float32, name="layer1")(x)
+        x = gelu_tanh(x)
+        return nn.Dense(cfg.model_dim, dtype=dtype, param_dtype=jnp.float32, name="layer2")(x)
+
+
+class SSMGating(nn.Module):
+    """Per-channel learned tanh gate on the TTT residual branch
+    (reference: dit.py:90-103)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "gating_alpha",
+            lambda key, shape: jnp.full(shape, self.config.gating_alpha_init, jnp.float32),
+            (self.config.model_dim,),
+        )
+        return (jnp.tanh(alpha) * x.astype(jnp.float32)).astype(x.dtype)
+
+
+class SegmentLocalAttention(nn.Module):
+    """Attention over overlapping (prefix + attn_length)-frame windows, each
+    window seeing its own scene's text (reference: dit.py:163-211).
+
+    The reference loops windows in Python; here all windows are gathered with
+    a static index map and attended in one batched call, and the overlapping
+    prefix rows are stitched back with a static scatter-add + count divide.
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, vid_emb, text_emb, meta: SequenceMetadata):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        B = vid_emb.shape[0]
+        D, H, F = cfg.model_dim, cfg.num_heads, cfg.head_dim
+        C, TL, TPF = meta.num_chunks, meta.text_length, meta.tokens_per_frame
+        WF = cfg.prefix_temporal_length + cfg.attn_length  # frames per window
+        assert meta.num_frames == cfg.prefix_temporal_length + C * cfg.attn_length, (
+            f"num_frames {meta.num_frames} != prefix {cfg.prefix_temporal_length} + "
+            f"{C} chunks * {cfg.attn_length} frames"
+        )
+
+        # Static window gather map: window c covers frames [c*AL, c*AL + WF).
+        window_idx = (np.arange(C)[:, None] * cfg.attn_length + np.arange(WF)[None, :]).astype(np.int32)
+        frame_counts = np.zeros((meta.num_frames,), np.float32)
+        np.add.at(frame_counts, window_idx.reshape(-1), 1.0)
+
+        frames = vid_emb.reshape(B, meta.num_frames, TPF, D)
+        win_vid = jnp.take(frames, jnp.asarray(window_idx.reshape(-1)), axis=1)
+        win_vid = win_vid.reshape(B, C, WF * TPF, D)
+        win_text = text_emb.reshape(B, C, TL, D)
+
+        S = TL + WF * TPF
+        x = jnp.concatenate([win_text, win_vid], axis=2).reshape(B * C, S, D)
+
+        dense = lambda name: nn.Dense(D, dtype=dtype, param_dtype=jnp.float32, name=name)
+        q = dense("q")(x).reshape(B * C, S, H, F)
+        k = dense("k")(x).reshape(B * C, S, H, F)
+        v = dense("v")(x).reshape(B * C, S, H, F)
+
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+        q = ln("q_norm")(q.astype(jnp.float32)).astype(dtype)
+        k = ln("k_norm")(k.astype(jnp.float32)).astype(dtype)
+
+        # Rope over *local* window positions (every window uses positions
+        # 0..WF*TPF, matching reference Rotary3DPositionEmbedding.forward).
+        cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.theta)
+        rope = lambda t: jnp.concatenate(
+            [t[:, :TL], jnp.moveaxis(apply_rope(jnp.moveaxis(t[:, TL:], 2, 1), cos, sin), 1, 2)], axis=1
+        )
+        q, k = rope(q), rope(k)
+
+        q = maybe_shard(q, DATA, None, TENSOR, None)
+        k = maybe_shard(k, DATA, None, TENSOR, None)
+        v = maybe_shard(v, DATA, None, TENSOR, None)
+
+        attn = jax.nn.dot_product_attention(q, k, v)  # [B*C, S, H, F]
+        attn = attn.reshape(B * C, S, D)
+        out = dense("o")(attn).reshape(B, C, S, D)
+
+        out_text = out[:, :, :TL].reshape(B, C * TL, D)
+
+        out_vid = out[:, :, TL:].reshape(B, C * WF, TPF, D)
+        stitched = jnp.zeros((B, meta.num_frames, TPF, D), out.dtype)
+        stitched = stitched.at[:, jnp.asarray(window_idx.reshape(-1))].add(out_vid)
+        stitched = stitched / jnp.asarray(frame_counts, out.dtype)[None, :, None, None]
+        out_vid = stitched.reshape(B, meta.num_video_tokens, D)
+
+        return jnp.concatenate([out_text, out_vid], axis=1)
+
+
+class SeqModelingBlock(nn.Module):
+    """Segment-local attention followed by bidirectional gated TTT
+    (reference: dit.py:106-278)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        self.attention = SegmentLocalAttention(self.config, name="attention")
+        self.ssm = TTTLayer(self.config, name="ssm")
+        self.forward_ssm_gating_text = SSMGating(self.config)
+        self.forward_ssm_gating_video = SSMGating(self.config)
+        self.backward_ssm_gating_text = SSMGating(self.config)
+        self.backward_ssm_gating_video = SSMGating(self.config)
+
+    def _gate(self, text_gate, video_gate, residual, ssm_out, stl: int):
+        return residual + jnp.concatenate(
+            [text_gate(ssm_out[:, :stl]), video_gate(ssm_out[:, stl:])], axis=1
+        )
+
+    def _ssm_forward(self, emb, meta: SequenceMetadata):
+        cfg = self.config
+        stl = meta.seq_text_length
+
+        def run_ssm(mdl, x):
+            return mdl.ssm(x, meta)
+
+        fwd = nn.remat(run_ssm, prevent_cse=False) if cfg.remat_forward_ssm else run_ssm
+        rev = nn.remat(run_ssm, prevent_cse=False) if cfg.remat_reverse_ssm else run_ssm
+
+        residual = emb
+        out = fwd(self, emb)
+        emb = self._gate(self.forward_ssm_gating_text, self.forward_ssm_gating_video, residual, out, stl)
+
+        residual = emb
+        text = emb[:, :stl]
+        if meta.is_multiscene:
+            text = reverse_text_chunks(text, meta.num_chunks)
+        video = jnp.flip(emb[:, stl:], axis=1)
+
+        out = rev(self, jnp.concatenate([text, video], axis=1))
+
+        out_text = out[:, :stl]
+        if meta.is_multiscene:
+            out_text = reverse_text_chunks(out_text, meta.num_chunks)
+        out_video = jnp.flip(out[:, stl:], axis=1)
+        out = jnp.concatenate([out_text, out_video], axis=1)
+
+        return self._gate(self.backward_ssm_gating_text, self.backward_ssm_gating_video, residual, out, stl)
+
+    def __call__(self, vid_emb, text_emb, meta: SequenceMetadata):
+        cfg = self.config
+
+        def run_attn(mdl, v, t):
+            return mdl.attention(v, t, meta)
+
+        attn = nn.remat(run_attn, prevent_cse=False) if cfg.remat_attention else run_attn
+        out = attn(self, vid_emb, text_emb)
+        out = self._ssm_forward(out, meta)
+
+        stl = meta.seq_text_length
+        return out[:, stl:], out[:, :stl]  # (video, text)
+
+
+class TransformerLayer(nn.Module):
+    """adaLN-modulated sequence-modeling block + MLP (reference: dit.py:281-382)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        ada = lambda: nn.Dense(6 * cfg.model_dim, dtype=dtype, param_dtype=jnp.float32)
+        ln = lambda: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32)
+
+        self.pre_seq_adaLN_modulation = ada()
+        self.pre_seq_layernorm = ln()
+        self.seq_modeling_block = SeqModelingBlock(cfg)
+        self.pre_mlp_adaLN_modulation = ada()
+        self.pre_mlp_layernorm = ln()
+        self.mlp = MLP(cfg)
+
+    def __call__(self, vid_emb, text_emb, t_emb, meta: SequenceMetadata):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        stl = meta.seq_text_length
+
+        seq_mod = jnp.split(self.pre_seq_adaLN_modulation(nn.silu(t_emb)), 6, axis=-1)
+        shift, scale, gate, t_shift, t_scale, t_gate = seq_mod
+
+        vid_in = modulate(self.pre_seq_layernorm(vid_emb.astype(jnp.float32)).astype(dtype), shift, scale)
+        text_in = modulate(self.pre_seq_layernorm(text_emb.astype(jnp.float32)).astype(dtype), t_shift, t_scale)
+
+        def run_block(mdl, v, t):
+            return mdl.seq_modeling_block(v, t, meta)
+
+        block_fn = nn.remat(run_block, prevent_cse=False) if cfg.remat_seq_modeling_block else run_block
+        vid_out, text_out = block_fn(self, vid_in, text_in)
+
+        vid_emb = vid_emb + gate[:, None, :] * vid_out
+        text_emb = text_emb + t_gate[:, None, :] * text_out
+
+        mlp_mod = jnp.split(self.pre_mlp_adaLN_modulation(nn.silu(t_emb)), 6, axis=-1)
+        shift, scale, gate, t_shift, t_scale, t_gate = mlp_mod
+
+        vid_in = modulate(self.pre_mlp_layernorm(vid_emb.astype(jnp.float32)).astype(dtype), shift, scale)
+        text_in = modulate(self.pre_mlp_layernorm(text_emb.astype(jnp.float32)).astype(dtype), t_shift, t_scale)
+
+        mlp_input = jnp.concatenate([text_in, vid_in], axis=1)
+        # Sequence-parallel MLP: tokens sharded over the tensor axis with
+        # replicated weights (reference: dit.py:368-374).
+        mlp_input = maybe_shard(mlp_input, DATA, TENSOR, None)
+
+        def run_mlp(mdl, x):
+            return mdl.mlp(x)
+
+        mlp_fn = nn.remat(run_mlp, prevent_cse=False) if cfg.remat_mlp else run_mlp
+        mlp_output = mlp_fn(self, mlp_input)
+
+        vid_emb = vid_emb + gate[:, None, :] * mlp_output[:, stl:]
+        text_emb = text_emb + t_gate[:, None, :] * mlp_output[:, :stl]
+        return vid_emb, text_emb
+
+
+class FinalLayer(nn.Module):
+    """adaLN + linear + unpatchify back to latent video (reference: dit.py:385-418)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, vid_emb, t_emb, meta: SequenceMetadata):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        p, c = cfg.patch_size, cfg.out_channels
+
+        mod = nn.Dense(2 * cfg.model_dim, dtype=dtype, param_dtype=jnp.float32, name="adaLN_modulation")(
+            nn.silu(t_emb)
+        )
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        vid_emb = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
+        )(vid_emb.astype(jnp.float32)).astype(dtype)
+        vid_emb = modulate(vid_emb, shift, scale)
+        x = nn.Dense(p * p * c, dtype=dtype, param_dtype=jnp.float32, name="linear")(vid_emb)
+
+        # Unpatchify: [B, (t h w), (c p q)] -> [B, t, c, h*p, w*q]
+        # (feature ordered (c, p, q), reference: cogvideo/utils.py:155-171).
+        B = x.shape[0]
+        h = meta.latent_height // p
+        w = meta.latent_width // p
+        t = meta.num_frames
+        x = x.reshape(B, t, h, w, c, p, p)
+        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6))  # B t c h p w q
+        return x.reshape(B, t, c, h * p, w * p)
+
+
+class DiffusionTransformer(nn.Module):
+    """The full DiT (reference: dit.py:421-505).
+
+    __call__(video [B,T,C,H,W], text [B,num_scenes,S,text_dim], timesteps [B])
+    -> latent v-prediction [B,T,C,H,W].
+    """
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        self.time_embed_0 = nn.Dense(cfg.time_embed_dim, dtype=dtype, param_dtype=jnp.float32)
+        self.time_embed_2 = nn.Dense(cfg.time_embed_dim, dtype=dtype, param_dtype=jnp.float32)
+        self.patch_embedding = PatchEmbedding(cfg)
+        self.layers = [TransformerLayer(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)]
+        self.transformer_norm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32
+        )
+        self.final_layer = FinalLayer(cfg)
+
+    def __call__(self, video, text, timesteps):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        B, T, C_lat, H_lat, W_lat = video.shape
+        num_scenes, text_length = text.shape[1], text.shape[2]
+
+        t_emb = timestep_embedding(timesteps, cfg.model_dim, dtype=dtype)
+        t_emb = self.time_embed_2(nn.silu(self.time_embed_0(t_emb)))
+
+        text_emb, vid_emb = self.patch_embedding(video, text)
+
+        meta = SequenceMetadata(
+            text_length=text_length,
+            num_frames=T,
+            num_chunks=num_scenes,
+            tokens_per_frame=vid_emb.shape[1] // T,
+            latent_height=H_lat,
+            latent_width=W_lat,
+            patch_size=cfg.patch_size,
+        )
+
+        text_emb = text_emb.reshape(B, num_scenes * text_length, cfg.model_dim)
+
+        group = max(cfg.remat_transformer_layer_group_size, 1)
+
+        for i in range(0, cfg.num_layers, group):
+
+            def group_forward(mdl, v, t, te, _start=i):
+                for layer in mdl.layers[_start : _start + group]:
+                    v, t = layer(v, t, te, meta)
+                return v, t
+
+            if cfg.shard_transformer_inputs:
+                vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
+                text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
+            vid_emb, text_emb = nn.remat(group_forward, prevent_cse=False)(
+                self, vid_emb, text_emb, t_emb
+            )
+
+        vid_emb = self.transformer_norm(vid_emb.astype(jnp.float32)).astype(dtype)
+        return self.final_layer(vid_emb, t_emb, meta)

@@ -1,0 +1,180 @@
+"""TTT (test-time-training) fast-weight layers as flax modules.
+
+TPU-first re-design of the reference's ``TTTBase``/``TTTLinear``/``TTTMLP``
+(reference: ttt/models/ssm/ttt_layer.py:53-473). The projection/eta/target
+preprocessing is plain jnp (XLA fuses it); the inner loop dispatches either to
+the pure ``lax.scan`` oracle (ops/ttt_scan.py) or the Pallas TPU kernels
+(ops/pallas/*), which replace the reference's Triton / ThunderKittens kernels.
+
+Tensor-parallel head sharding is expressed as sharding constraints on the
+``heads`` axis (mesh axis "tensor") instead of DTensor parameter wrapping
+(reference: ttt/models/ssm/ttt_layer.py:114-132).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ttt_video_dit_tpu.config.model_config import ModelConfig
+from ttt_video_dit_tpu.models.sequence import SequenceMetadata
+from ttt_video_dit_tpu.models.ttt.interleave import interleave, undo_interleave
+from ttt_video_dit_tpu.ops import ttt_scan
+from ttt_video_dit_tpu.ops.rope import apply_rope, precompute_rope_3d
+from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
+
+_init_normal = nn.initializers.normal(stddev=0.02)
+
+
+class TTTLayer(nn.Module):
+    """Bidirectional-capable TTT layer (one direction per call; the caller
+    reverses the sequence for the second direction and shares these params,
+    reference: ttt/models/cogvideo/dit.py:224-266)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        D, H, F = cfg.model_dim, cfg.num_heads, cfg.head_dim
+
+        dense = lambda name: nn.Dense(
+            D, use_bias=True, dtype=jnp.dtype(cfg.dtype), param_dtype=jnp.float32,
+            kernel_init=_init_normal, bias_init=nn.initializers.zeros, name=name,
+        )
+        self.wq, self.wk, self.wv, self.wo = dense("wq"), dense("wk"), dense("wv"), dense("wo")
+
+        # Per-head learned inner-loop LR gate: sigma(x . w + b) * base_lr / F
+        # (reference: ttt/models/ssm/ttt_layer.py:91-106,143-155).
+        self.learnable_ttt_lr_weight = self.param("learnable_ttt_lr_weight", _init_normal, (H, 1, D), jnp.float32)
+        self.learnable_ttt_lr_bias = self.param("learnable_ttt_lr_bias", nn.initializers.zeros, (H, 1), jnp.float32)
+
+        # Per-head layer-norm applied to the fast-weight net's output and used
+        # in the LN-reconstruction target.
+        self.ttt_norm_weight = self.param("ttt_norm_weight", nn.initializers.ones, (H, F), jnp.float32)
+        self.ttt_norm_bias = self.param("ttt_norm_bias", nn.initializers.zeros, (H, F), jnp.float32)
+
+        self.post_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32, name="post_norm")
+
+        # Fast-weight initial states (learned, shared across the batch).
+        if cfg.ssm_layer == "ttt_linear":
+            self.W1 = self.param("W1", _init_normal, (H, F, F), jnp.float32)
+            self.b1 = self.param("b1", nn.initializers.zeros, (H, 1, F), jnp.float32)
+        elif cfg.ssm_layer == "ttt_mlp":
+            self.W1 = self.param("W1", _init_normal, (H, F, 4 * F), jnp.float32)
+            self.b1 = self.param("b1", nn.initializers.zeros, (H, 1, 4 * F), jnp.float32)
+            self.W2 = self.param("W2", _init_normal, (H, 4 * F, F), jnp.float32)
+            self.b2 = self.param("b2", nn.initializers.zeros, (H, 1, F), jnp.float32)
+        else:
+            raise ValueError(f"No ttt layer of type {cfg.ssm_layer}")
+
+    def _ln_reconstruction_target(self, XV, XK):
+        """LN-normalized reconstruction target XV := LN(XV - XK) + XK using the
+        per-head ttt_norm affine. Uses the *unbiased* std with eps added to std
+        (not var), matching reference: ttt/models/ssm/ttt_layer.py:219-235."""
+        x = (XV - XK).astype(jnp.float32)
+        n = x.shape[-1]
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True) * (n / max(n - 1, 1))
+        x = (x - mean) / (jnp.sqrt(var) + 1e-8)
+        x = self.ttt_norm_weight[None, None] * x + self.ttt_norm_bias[None, None]
+        return (x + XK.astype(jnp.float32)).astype(XV.dtype)
+
+    def _token_eta(self, hidden_states):
+        """Per-token inner-loop LR: sigma(x.w+b) * base_lr / head_dim / CS.
+
+        hidden_states: [B, L, D] -> eta [B, H, NC, CS]. Equivalent to the
+        reference's rank-1 eta matrix (see ops/ttt_scan.py docstring)."""
+        cfg = self.config
+        B, L, D = hidden_states.shape
+        x = hidden_states.astype(jnp.float32)
+        lr = jnp.einsum("bld,hod->bhlo", x, self.learnable_ttt_lr_weight)[..., 0]
+        lr = lr + self.learnable_ttt_lr_bias.reshape(1, -1, 1)
+        lr = jax.nn.sigmoid(lr) * (cfg.ttt_base_lr / cfg.head_dim)  # [B, H, L]
+        eta = lr / cfg.mini_batch_size
+        return eta.reshape(B, cfg.num_heads, L // cfg.mini_batch_size, cfg.mini_batch_size)
+
+    def __call__(self, hidden_states, meta: SequenceMetadata):
+        cfg = self.config
+        B, L, D = hidden_states.shape
+        H, F, CS = cfg.num_heads, cfg.head_dim, cfg.mini_batch_size
+        assert L % CS == 0, "Sequence len must be multiple of mini batch size."
+        NC = L // CS
+        stl = meta.seq_text_length
+
+        XQ = self.wq(hidden_states).reshape(B, L, H, F)
+        XK = self.wk(hidden_states).reshape(B, L, H, F)
+        XV = self.wv(hidden_states).reshape(B, L, H, F)
+
+        # L2-normalize queries/keys over the head dim (torch F.normalize parity:
+        # x / max(||x||_2, 1e-12), reference: ttt/models/ssm/ttt_layer.py:265-266).
+        norm = lambda x: (x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)).astype(x.dtype)
+        XQ, XK = norm(XQ), norm(XK)
+
+        # 3D rope on video tokens only (global positions over the full video).
+        cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.rope_theta)
+        rope = lambda x: jnp.concatenate(
+            [x[:, :stl], jnp.moveaxis(apply_rope(jnp.moveaxis(x[:, stl:], 2, 1), cos, sin), 1, 2)], axis=1
+        )
+        XQ, XK = rope(XQ), rope(XK)
+
+        XV = self._ln_reconstruction_target(XV, XK)
+
+        # [B, L, H, F] -> [B, H, NC, CS, F]
+        to_mb = lambda x: jnp.moveaxis(x, 2, 1).reshape(B, H, NC, CS, F)
+        XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
+        eta = self._token_eta(hidden_states)
+
+        if meta.is_multiscene:
+            il = lambda x: interleave(x.reshape(B, H, L, F), meta).reshape(B, H, NC, CS, F)
+            XQ, XK, XV = il(XQ), il(XK), il(XV)
+            eta = interleave(eta.reshape(B, H, L, 1), meta).reshape(B, H, NC, CS)
+
+        # Head sharding over the tensor axis (TP); batch over data axes.
+        XQ, XK, XV = (maybe_shard(x, DATA, TENSOR, None, None, None) for x in (XQ, XK, XV))
+        eta = maybe_shard(eta, DATA, TENSOR, None, None)
+
+        group = min(max(cfg.scan_checkpoint_group_size, 1), NC)
+        tile = lambda p: jnp.broadcast_to(p[None], (B,) + p.shape)
+
+        if cfg.ssm_layer == "ttt_linear":
+            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group)
+        else:
+            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group)
+
+        # [B, H, NC, CS, F] -> [B, L, H*F]
+        out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
+
+        out = self.post_norm(out.astype(jnp.float32)).astype(jnp.dtype(cfg.dtype))
+        out = self.wo(out)
+
+        if meta.is_multiscene:
+            out = undo_interleave(out, meta)
+        return out
+
+    def _ttt_linear(self, XQ, XK, XV, eta, tile, group):
+        if self.config.use_kernel:
+            from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel
+
+            if ttt_linear_kernel.is_supported(XQ.shape):
+                return ttt_linear_kernel.ttt_linear(
+                    XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
+                    tile(self.W1), tile(self.b1), group,
+                )
+        return ttt_scan.ttt_linear(
+            XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias, tile(self.W1), tile(self.b1), group
+        )
+
+    def _ttt_mlp(self, XQ, XK, XV, eta, tile, group):
+        if self.config.use_kernel:
+            from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
+
+            if ttt_mlp_kernel.is_supported(XQ.shape):
+                return ttt_mlp_kernel.ttt_mlp(
+                    XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
+                    tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
+                )
+        return ttt_scan.ttt_mlp(
+            XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
+            tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
+        )
