@@ -1,0 +1,124 @@
+"""Benchmark harness: measures training-step MFU on real hardware.
+
+Runs a single-chip CogVideoX-architecture training step with the full 3-second
+sequence geometry (18,048 tokens: 498 text + 13 frames x 1350 tokens) and
+bidirectional TTT-MLP layers, at a width that fits one chip's HBM, and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured MFU / 0.40 — the 40%-MFU north star from BASELINE.md
+(the reference repo publishes no step-time/MFU numbers of its own).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-dim", type=int, default=1024)
+    parser.add_argument("--num-heads", type=int, default=16)
+    parser.add_argument("--num-layers", type=int, default=2)
+    parser.add_argument("--ssm-layer", default="ttt_mlp", choices=["ttt_mlp", "ttt_linear"])
+    parser.add_argument("--video-length", default="3sec")
+    parser.add_argument("--text-length", type=int, default=498)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--use-kernel", action="store_true", default=True)
+    parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
+    parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ttt_video_dit_tpu.config.model_config import ModelConfig, VIDEO_DURATION_CONFIGS
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+    from ttt_video_dit_tpu.training import optimizer as opt_mod
+    from ttt_video_dit_tpu.training.setup import create_train_state, init_params
+    from ttt_video_dit_tpu.training.train_step import make_train_step
+    from ttt_video_dit_tpu.utils.metrics import device_peak_flops, train_step_flops
+
+    cfg = ModelConfig(
+        model_dim=args.model_dim,
+        num_heads=args.num_heads,
+        num_layers=args.num_layers,
+        ssm_layer=args.ssm_layer,
+        text_dim=4096,
+        use_kernel=args.use_kernel,
+        remat_seq_modeling_block=True,
+        remat_mlp=True,
+        dtype="bfloat16",
+        **VIDEO_DURATION_CONFIGS[args.video_length],
+    )
+
+    model = CogVideoX(cfg)
+    B, TL = args.batch_size, args.text_length
+    rng_np = np.random.default_rng(0)
+    T = cfg.compressed_num_frames
+    h, w = cfg.latent_height * cfg.patch_size, cfg.latent_width * cfg.patch_size
+    seq = cfg.num_chunks * TL + T * cfg.tokens_per_frame
+    assert seq % cfg.mini_batch_size == 0, f"seq {seq} not divisible by CS {cfg.mini_batch_size}"
+
+    batch = dict(
+        vid=jnp.asarray(rng_np.standard_normal((B, T, cfg.in_channels, h, w)), jnp.float32),
+        text=jnp.asarray(rng_np.standard_normal((B, cfg.num_chunks, TL, cfg.text_dim)), jnp.float32),
+        sigma_lo=jnp.zeros((B,), jnp.int32),
+        sigma_hi=jnp.full((B,), cfg.sigma_interval, jnp.int32),
+    )
+
+    params = init_params(model, cfg, mesh=None, rng=jax.random.PRNGKey(0), text_length=TL)
+    trainable, _ = opt_mod.partition_params(params, "sft")
+    tx, _, _ = opt_mod.build_optimizer(
+        trainable, lr=1e-4, lr_ssm=1e-4, lr_end=0.0, warmup_steps=10, total_steps=1000
+    )
+    state = create_train_state(params, tx, "sft")
+    step_fn = jax.jit(make_train_step(model, tx, 1, 0.1), donate_argnums=0)
+
+    rng = jax.random.PRNGKey(42)
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state, batch, rng)
+    # NOTE: through the remote-execution tunnel, block_until_ready returns
+    # before the device finishes; a host readback of a scalar is the only
+    # reliable execution fence.
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch, rng)
+    loss_val = float(metrics["loss"])  # fences the whole chained sequence
+    dt = (time.perf_counter() - t0) / args.steps
+
+    flops = train_step_flops(cfg, B, TL)
+    peak = device_peak_flops()
+    mfu = flops / (dt * peak)
+
+    result = {
+        "metric": f"train_mfu_{args.video_length}_{args.ssm_layer}_d{args.model_dim}x{args.num_layers}_1chip",
+        "value": round(mfu * 100, 2),
+        "unit": "% MFU",
+        "vs_baseline": round(mfu / 0.40, 4),
+        "step_time_s": round(dt, 4),
+        "tokens": seq,
+        "tflops_per_step": round(flops / 1e12, 2),
+        "device": jax.devices()[0].device_kind,
+        "loss": loss_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,7 +87,10 @@ class ModelConfig:
 
     @property
     def tokens_per_frame(self) -> int:
-        return (self.latent_height // self.patch_size) * (self.latent_width // self.patch_size)
+        """latent_height/width are already the *token grid* dims (latent
+        pixels / patch_size): 30 x 45 = 1350 tokens per 480x720 frame
+        (reference: configs.py:35-37, dit.py:475)."""
+        return self.latent_height * self.latent_width
 
     @property
     def num_chunks(self) -> int:

@@ -45,7 +45,7 @@ class CogVideoX(nn.Module):
         u = jax.random.randint(key_idx, (B,), 0, jnp.int32(1) << 30, dtype=jnp.int32)
         idx = lo + u % jnp.maximum(hi - lo, 1)
 
-        table = training_sigma_table(cfg.sigma_interval)
+        table = jnp.asarray(training_sigma_table(cfg.sigma_interval))
         alphas_cumprod_sqrt = table[idx]
         a = _append_dims(alphas_cumprod_sqrt, vid.ndim)
 

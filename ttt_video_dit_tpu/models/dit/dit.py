@@ -30,6 +30,7 @@ from ttt_video_dit_tpu.models.dit.schedule import timestep_embedding
 from ttt_video_dit_tpu.models.sequence import SequenceMetadata
 from ttt_video_dit_tpu.models.ttt.interleave import reverse_text_chunks
 from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
+from ttt_video_dit_tpu.ops.attention import attention
 from ttt_video_dit_tpu.ops.ln import gelu_tanh
 from ttt_video_dit_tpu.ops.rope import apply_rope, precompute_rope_3d
 from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
@@ -160,7 +161,7 @@ class SegmentLocalAttention(nn.Module):
         k = maybe_shard(k, DATA, None, TENSOR, None)
         v = maybe_shard(v, DATA, None, TENSOR, None)
 
-        attn = jax.nn.dot_product_attention(q, k, v)  # [B*C, S, H, F]
+        attn = attention(q, k, v)  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)
         out = dense("o")(attn).reshape(B, C, S, D)
 

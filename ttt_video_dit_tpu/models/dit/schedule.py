@@ -93,11 +93,12 @@ def video_scaling(alpha_cumprod_sqrt, idx):
 
 
 @functools.lru_cache(maxsize=4)
-def training_sigma_table(sigma_interval: int = 1000) -> jnp.ndarray:
+def training_sigma_table(sigma_interval: int = 1000) -> np.ndarray:
     """sqrt(alpha_cumprod) lookup table indexed by training sigma index; index
     0 is (nearly) clean, index `sigma_interval-1` is pure noise
-    (reference: DiscreteSampler, utils.py:286-308)."""
-    return jnp.asarray(ZeroSNRDDPMDiscretization()(sigma_interval, flip=True))
+    (reference: DiscreteSampler, utils.py:286-308). Numpy (not jnp) so the
+    lru_cache never captures a traced value."""
+    return ZeroSNRDDPMDiscretization()(sigma_interval, flip=True)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,97 @@
+"""The single jitted SPMD train step.
+
+Replaces the reference's imperative loop of FSDP forward/backward + clip +
+optimizer + LR scheduler + loss all-reduce (reference: train.py:131-200) with
+one functional step under ``jax.jit``: gradient accumulation is a ``lax.scan``
+over micro-batches, gradient clipping/update is the optax chain, and every
+collective (grad reduce-scatter over fsdp, loss mean over the data axes,
+grad-norm reduction over tensor) is emitted by GSPMD from shardings — the
+reference's explicit ``all_reduce`` calls (train.py:169-177) disappear.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ttt_video_dit_tpu.training.optimizer import merge_params
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # int32 scalar
+    trainable: Any  # trainable param sub-tree (frozen leaves = None)
+    frozen: Any  # frozen param sub-tree (trainable leaves = None)
+    opt_state: Any
+
+
+def apply_text_dropout(text, key, prob: float):
+    """Zero the whole text conditioning of a sample with probability ``prob``
+    (classifier-free-guidance dropout; reference: train.py:39-41,
+    cogvideo/utils.py:58-66)."""
+    if prob <= 0.0:
+        return text
+    keep = jax.random.bernoulli(key, 1.0 - prob, (text.shape[0],)).astype(text.dtype)
+    return text * keep.reshape(-1, *([1] * (text.ndim - 1)))
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    grad_accum_steps: int = 1,
+    text_dropout_prob: float = 0.1,
+) -> Callable[[TrainState, Dict[str, Any], jax.Array], Tuple[TrainState, Dict[str, Any]]]:
+    """Build the (un-jitted) train step; callers wrap in jax.jit with donated
+    state. Batch dict: vid [B,T,C,H,W], text [B,scenes,S,E],
+    sigma_lo/sigma_hi [B] int32."""
+
+    def loss_fn_full(trainable, frozen, vid, text, bounds, key):
+        params = merge_params(trainable, frozen)
+        k_drop, k_diff = jax.random.split(key)
+        text = apply_text_dropout(text, k_drop, text_dropout_prob)
+        loss = model.apply(params, vid, text, k_diff, bounds)
+        return loss.mean()
+
+    grad_fn = jax.value_and_grad(loss_fn_full)
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        vid, text = batch["vid"], batch["text"]
+        bounds = (batch["sigma_lo"], batch["sigma_hi"])
+
+        if grad_accum_steps <= 1:
+            loss, grads = grad_fn(state.trainable, state.frozen, vid, text, bounds, rng)
+        else:
+            B = vid.shape[0]
+            micro = B // grad_accum_steps
+            resh = lambda x: x.reshape(grad_accum_steps, micro, *x.shape[1:])
+            micro_batches = (resh(vid), resh(text), resh(bounds[0]), resh(bounds[1]))
+
+            def accum(carry, xs):
+                loss_acc, grads_acc, i = carry
+                v, t, lo, hi = xs
+                key = jax.random.fold_in(rng, i)
+                loss, grads = grad_fn(state.trainable, state.frozen, v, t, (lo, hi), key)
+                grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
+                return (loss_acc + loss, grads_acc, i + 1), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
+            (loss, grads, _), _ = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zero_grads, jnp.int32(0)), micro_batches
+            )
+            loss = loss / grad_accum_steps
+            grads = jax.tree.map(lambda g: g / grad_accum_steps, grads)
+
+        grad_norm = optax.global_norm(jax.tree.leaves(grads))
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        new_state = state.replace(step=state.step + 1, trainable=new_trainable, opt_state=new_opt_state)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
