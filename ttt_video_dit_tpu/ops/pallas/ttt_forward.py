@@ -1,0 +1,279 @@
+"""Pallas TPU forward-scan kernels for the TTT inner loop.
+
+Replaces the reference's Triton TTT-linear forward
+(reference: ttt/models/ssm/kernels/linear_forward.py:5-148) and the
+ThunderKittens TTT-MLP forward (reference: ttt-tk, mlp_tk.py:65-133) with one
+kernel family, designed for the TPU execution model:
+
+- A GPU runs one SM per (batch, head) and hides the sequential scan latency
+  with 100+ parallel SMs. A TPU core runs ONE kernel instance, so a
+  per-(b,h) grid would serialize B*H*NC tiny steps. Instead each grid step
+  processes a whole *group* of heads with batched dots (the MXU chews through
+  the per-head matmuls back to back), so the sequential dimension is just NC.
+- grid = (B * head_groups, NC); NC is innermost and sequential; fast-weight
+  state for the whole head group lives in float32 VMEM scratch across grid
+  steps (never round-trips HBM between mini-batches).
+- bf16 matmuls against the fp32 state (cast per step), fp32 accumulation —
+  the same mixed-precision scheme as the reference kernels.
+- fp32 state checkpoints written every `checkpoint_group_size` mini-batches
+  for the gradient pass (same remat strategy as reference:
+  linear_forward.py:54-73 / mlp_tk.py:95-98).
+
+Mosaic workaround: broadcasting a [G, 1, F] value along the sublane axis in a
+kernel that also contains batched dots crashes the TPU compiler (array.h
+"limits <= dim" check). Biases and LN affines are therefore kept
+*row-replicated* ([G, CS, F]); the bias update "b - sum_rows(G)" becomes the
+matmul ones[CS,CS] @ G (which replicates the column sums), so no sublane
+broadcast ever occurs.
+
+The backward pass lives in ttt_vjp.py (custom_vjp over these kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh, ln_fused_l2_bwd, ln_fwd
+
+
+def _bmm(a, b, *, transpose_b: bool = False, transpose_a: bool = False):
+    """Batched matmul over the leading (head) dim with fp32 accumulation."""
+    if transpose_a:
+        dn = (((1,), (1,)), ((0,), (0,)))
+    elif transpose_b:
+        dn = (((2,), (2,)), ((0,), (0,)))
+    else:
+        dn = (((2,), (1,)), ((0,), (0,)))
+    return jax.lax.dot_general(a, b, dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+
+def _rowsum_replicated(x, ones_cs):
+    """ones[CS,CS] @ x: every row = column sums of x. [G,CS,F] -> [G,CS,F]."""
+    return _bmm(ones_cs, x)
+
+
+def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
+    """Largest head group that keeps per-step VMEM use comfortable (~8 MB)."""
+    per_head = (2 * head_dim * 4 * head_dim * 4 + 10 * 64 * 4 * head_dim * 4) if mlp else (
+        head_dim * head_dim * 4 + 8 * 64 * head_dim * 4
+    )
+    budget = 8 * 1024 * 1024
+    g = max(1, min(num_heads, budget // max(per_head, 1)))
+    # g must divide num_heads AND satisfy TPU sublane tiling: blocks of shape
+    # (g, F) need g % 8 == 0 or g == num_heads.
+    while g > 1 and not (num_heads % g == 0 and (g == num_heads or g % 8 == 0)):
+        g -= 1
+    if num_heads % g != 0:
+        g = num_heads
+    return g
+
+
+def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+                   out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        w_scr[:] = w1_ref[0]
+        b_scr[:] = b1_ref[0]  # row-replicated [G, CS, F]
+
+    @pl.when(n % K == 0)
+    def _():
+        w1_ckpt_ref[0, :, 0] = w_scr[:]
+        b1_ckpt_ref[0, :, 0] = b_scr[:]
+
+    XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
+    XK = xk_ref[0, :, 0]
+    XV = xv_ref[0, :, 0]
+    eta = eta_ref[0, :, 0].astype(jnp.float32)  # [G, CS, 1]
+    lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F] row-replicated
+    lnb = lnb_ref[:].astype(jnp.float32)
+
+    dt = XQ.dtype
+    W = w_scr[:]  # [G, F, F] fp32
+    b = b_scr[:]  # [G, CS, F] fp32 (rows identical)
+    G_heads, CS, _ = XQ.shape
+    ones_cs = jnp.ones((G_heads, CS, CS), dt)
+
+    Z1 = _bmm(XK, W.astype(dt)) + b
+    target = (XV - XK).astype(jnp.float32)
+    grad = ln_fused_l2_bwd(Z1, target, lnw, lnb)
+    Gs = (eta * grad).astype(dt)  # eta-scaled gradient [G, CS, F]
+
+    attn = _bmm(XQ, XK, transpose_b=True)  # [G, CS, CS]
+    b_new = b - _rowsum_replicated(Gs, ones_cs)
+    Z1_bar = _bmm(XQ, W.astype(dt)) - _bmm(attn.astype(dt), Gs) + b_new
+    W_new = W - _bmm(XK, Gs, transpose_a=True)
+
+    out = XQ.astype(jnp.float32) + ln_fwd(Z1_bar, lnw, lnb)
+    out_ref[0, :, 0] = out.astype(out_ref.dtype)
+
+    w_scr[:] = W_new
+    b_scr[:] = b_new
+
+
+def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, w1_ckpt_ref, b1_ckpt_ref, w2_ckpt_ref, b2_ckpt_ref,
+                w1_scr, b1_scr, w2_scr, b2_scr):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        w1_scr[:] = w1_ref[0]
+        b1_scr[:] = b1_ref[0]
+        w2_scr[:] = w2_ref[0]
+        b2_scr[:] = b2_ref[0]
+
+    @pl.when(n % K == 0)
+    def _():
+        w1_ckpt_ref[0, :, 0] = w1_scr[:]
+        b1_ckpt_ref[0, :, 0] = b1_scr[:]
+        w2_ckpt_ref[0, :, 0] = w2_scr[:]
+        b2_ckpt_ref[0, :, 0] = b2_scr[:]
+
+    XQ = xq_ref[0, :, 0]  # [G, CS, F]
+    XK = xk_ref[0, :, 0]
+    XV = xv_ref[0, :, 0]
+    eta = eta_ref[0, :, 0].astype(jnp.float32)
+    lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F]
+    lnb = lnb_ref[:].astype(jnp.float32)
+
+    dt = XQ.dtype
+    W1, b1 = w1_scr[:], b1_scr[:]  # [G, F, 4F], [G, CS, 4F]
+    W2, b2 = w2_scr[:], b2_scr[:]  # [G, 4F, F], [G, CS, F]
+    G_heads, CS, _ = XQ.shape
+    ones_cs = jnp.ones((G_heads, CS, CS), dt)
+
+    Z1 = _bmm(XK, W1.astype(dt)) + b1
+    X2 = gelu_tanh(Z1)  # fp32 [G, CS, 4F]
+    X2c = X2.astype(dt)
+    Z2 = _bmm(X2c, W2.astype(dt)) + b2
+    target = (XV - XK).astype(jnp.float32)
+
+    grad_z2 = ln_fused_l2_bwd(Z2, target, lnw, lnb)
+    grad_z1 = _bmm(grad_z2.astype(dt), W2.astype(dt), transpose_b=True) * gelu_bwd(Z1)
+
+    G1 = (eta * grad_z1).astype(dt)  # [G, CS, 4F]
+    G2 = (eta * grad_z2).astype(dt)  # [G, CS, F]
+
+    attn1 = _bmm(XQ, XK, transpose_b=True)
+    b1_new = b1 - _rowsum_replicated(G1, ones_cs)
+    Z1_bar = _bmm(XQ, W1.astype(dt)) - _bmm(attn1.astype(dt), G1) + b1_new
+    X2_bar = gelu_tanh(Z1_bar)
+    X2_barc = X2_bar.astype(dt)
+
+    attn2 = _bmm(X2_barc, X2c, transpose_b=True)
+    b2_new = b2 - _rowsum_replicated(G2, ones_cs)
+    Z2_bar = _bmm(X2_barc, W2.astype(dt)) - _bmm(attn2.astype(dt), G2) + b2_new
+
+    W1_new = W1 - _bmm(XK, G1, transpose_a=True)
+    W2_new = W2 - _bmm(X2c, G2, transpose_a=True)
+
+    out = XQ.astype(jnp.float32) + ln_fwd(Z2_bar, lnw, lnb)
+    out_ref[0, :, 0] = out.astype(out_ref.dtype)
+
+    w1_scr[:] = W1_new
+    b1_scr[:] = b1_new
+    w2_scr[:] = W2_new
+    b2_scr[:] = b2_new
+
+
+def _specs(H, G, CS, F, K):
+    """Common BlockSpecs for the head-grouped layout. HG = H // G groups."""
+    HG = H // G
+    x_map = lambda i, n: (i // HG, i % HG, n, 0, 0)
+    x_spec = lambda f: pl.BlockSpec((1, G, 1, CS, f), x_map, memory_space=pltpu.VMEM)
+    eta_spec = pl.BlockSpec((1, G, 1, CS, 1), x_map, memory_space=pltpu.VMEM)
+    # ln params row-replicated host-side to [H, CS, F].
+    ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
+    state_map = lambda i, n: (i // HG, i % HG, 0, 0)
+    state_spec = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
+    ckpt_map = lambda i, n: (i // HG, i % HG, n // K, 0, 0)
+    ckpt_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), ckpt_map, memory_space=pltpu.VMEM)
+    return x_spec, eta_spec, ln_spec, state_spec, ckpt_spec
+
+
+def _replicate_rows(x, CS):
+    """[..., 1, F] -> [..., CS, F] (host-side tile; no kernel broadcast)."""
+    return jnp.broadcast_to(x, x.shape[:-2] + (CS, x.shape[-1]))
+
+
+def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int,
+                       interpret: bool = False, head_group: int | None = None):
+    """XQ/XK/XV: [B,H,NC,CS,F]; eta: [B,H,NC,CS]; W1: [B,H,F,F]; b1: [B,H,1,F].
+
+    Returns (XQW [B,H,NC,CS,F], W1_ckpts [B,H,NG,F,F], b1_ckpts [B,H,NG,1,F]).
+    """
+    B, H, NC, CS, F = XQ.shape
+    K = min(max(checkpoint_group_size, 1), NC)
+    NG = pl.cdiv(NC, K)
+    G = head_group or pick_head_group(H, F, mlp=False)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec = _specs(H, G, CS, F, K)
+
+    out, w_ckpt, b_ckpt = pl.pallas_call(
+        functools.partial(_linear_kernel, K),
+        grid=(B * (H // G), NC),
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+                  state_spec(F, F), state_spec(CS, F)],
+        out_specs=(x_spec(F), ckpt_spec(F, F), ckpt_spec(CS, F)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NG, F, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, CS, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, F, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        XQ, XK, XV, eta[..., None],
+        _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
+        W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
+    )
+    return out, w_ckpt, b_ckpt[:, :, :, 0:1, :]
+
+
+def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int,
+                    interpret: bool = False, head_group: int | None = None):
+    """Same layout as ttt_linear_forward with W1 [B,H,F,4F], W2 [B,H,4F,F]."""
+    B, H, NC, CS, F = XQ.shape
+    F4 = W1.shape[-1]
+    K = min(max(checkpoint_group_size, 1), NC)
+    NG = pl.cdiv(NC, K)
+    G = head_group or pick_head_group(H, F, mlp=True)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec = _specs(H, G, CS, F, K)
+
+    out, w1_ck, b1_ck, w2_ck, b2_ck = pl.pallas_call(
+        functools.partial(_mlp_kernel, K),
+        grid=(B * (H // G), NC),
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+                  state_spec(F, F4), state_spec(CS, F4), state_spec(F4, F), state_spec(CS, F)],
+        out_specs=(x_spec(F), ckpt_spec(F, F4), ckpt_spec(CS, F4), ckpt_spec(F4, F), ckpt_spec(CS, F)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NG, F, F4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, CS, F4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, F4, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, CS, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, F, F4), jnp.float32),
+            pltpu.VMEM((G, CS, F4), jnp.float32),
+            pltpu.VMEM((G, F4, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        XQ, XK, XV, eta[..., None],
+        _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
+        W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
+        W2.astype(jnp.float32), _replicate_rows(b2.astype(jnp.float32), CS),
+    )
+    return out, w1_ck, b1_ck[:, :, :, 0:1, :], w2_ck, b2_ck[:, :, :, 0:1, :]

@@ -1,16 +1,28 @@
-"""Pallas TPU kernel for the TTT-linear inner-loop scan.
+"""Dispatch wrapper for the Pallas TTT-linear kernel.
 
 Replaces the reference's Triton forward/backward scan kernels
-(reference: ttt/models/ssm/kernels/linear_forward.py, linear_backward.py).
-
-Placeholder for now: reports unsupported so callers fall back to the
-``lax.scan`` oracle. Implemented later in this round.
+(reference: ttt/models/ssm/kernels/linear_forward.py, linear_backward.py,
+launched via linear_triton.py). Falls back to the lax.scan oracle
+(ops/ttt_scan.py) off-TPU; ``interpret=True`` (set by tests) runs the kernel
+in the Pallas interpreter on CPU for parity checks.
 """
+
+from __future__ import annotations
+
+import jax
+
+from ttt_video_dit_tpu.ops.pallas import ttt_vjp
+
+_FORCE_INTERPRET = False  # tests flip this to exercise kernels on CPU
 
 
 def is_supported(shape) -> bool:
-    return False
+    B, H, NC, CS, F = shape
+    shapes_ok = CS % 8 == 0 and F % 8 == 0
+    return shapes_ok and (_FORCE_INTERPRET or jax.default_backend() == "tpu")
 
 
-def ttt_linear(*args, **kwargs):
-    raise NotImplementedError("Pallas TTT-linear kernel not yet implemented")
+def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16):
+    NC = XQ.shape[2]
+    K = min(max(checkpoint_group_size, 1), NC)
+    return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, XQ, XK, XV, eta, ln_w, ln_b, W1, b1)
