@@ -1,0 +1,103 @@
+"""Sampling stack tests: storyboard parsing, DynamicCFG schedule parity,
+DPM++(2M) multiplier parity vs the reference implementation, and an
+end-to-end tiny sampling smoke."""
+
+import json
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.reference_oracle import load_reference, reference_available
+from tests.test_dit import tiny_config
+from ttt_video_dit_tpu.models.dit import sampler as S
+
+needs_reference = pytest.mark.skipif(not reference_available(), reason="reference checkout not available")
+
+
+def test_storyboard_parsing(tmp_path):
+    scenes = [
+        [
+            {"text": "a cat", "neg_text": "blurry"},
+            {"text": "a dog", "requires_scene_transition": True},
+            {"text": "a bird", "requires_scene_transition": False},
+        ]
+    ]
+    p = tmp_path / "story.json"
+    p.write_text(json.dumps(scenes))
+    out = S.load_storyboards(str(p))
+    assert len(out) == 1
+    texts, negs = out[0]
+    assert texts[0] == "a cat" + S.SCENE_END_TOKEN
+    assert texts[1] == S.SCENE_START_TOKEN + "a dog"
+    assert texts[2] == "a bird"
+    assert negs[0] == "blurry" and negs[1] is None
+
+    # jsonl with single-scene video; first scene never gets a start token.
+    p2 = tmp_path / "story.jsonl"
+    p2.write_text(json.dumps([{"text": "solo", "requires_scene_transition": True}]) + "\n")
+    out2 = S.load_storyboards(str(p2))
+    assert out2[0][0] == ["solo"]
+
+
+@needs_reference
+def test_dynamic_cfg_schedule_matches_reference():
+    ref_cog, _ = load_reference()
+    ref = ref_cog.DynamicCFG(scale=6, exp=5, num_steps=50)
+    ours = S.DynamicCFG(scale=6, exp=5, num_steps=50)
+    # step_index values as produced by the reference loop: num_steps - timestep
+    # over the ZeroSNR timesteps (mostly large negative — reproduced verbatim).
+    for step_index in [-949, -750, -500, -101, 0, 10, 31, 49]:
+        ref_scale = ref.scale_schedule(None, step_index)
+        np.testing.assert_allclose(ours.scale_at(step_index), ref_scale, rtol=1e-12)
+
+
+@needs_reference
+def test_dpmpp_multipliers_match_reference():
+    import torch
+
+    ref_cog, _ = load_reference()
+    ref = ref_cog.VPSDEDPMPP2MSampler.__new__(ref_cog.VPSDEDPMPP2MSampler)
+    ours = S.DPMPP2MSampler(num_steps=50)
+
+    for a, a_next, a_prev in [(0.2, 0.5, 0.1), (0.5, 0.9, 0.2), (0.9, 0.99, 0.5)]:
+        t = lambda v: torch.tensor(v, dtype=torch.float64)
+        h, r, _, _ = ref.get_variables(t(a), t(a_next), t(a_prev))
+        ref_m = ref.get_mult(h, r, t(a), t(a_next), t(a_prev))
+        h2, our_m = ours._mults(a, a_next, a_prev)
+        np.testing.assert_allclose(float(h), h2, rtol=1e-9)
+        for rm, om in zip(ref_m, our_m):
+            np.testing.assert_allclose(float(rm), om, rtol=1e-9)
+
+    # No-previous case
+    h, r, _, _ = ref.get_variables(torch.tensor(0.2), torch.tensor(0.5))
+    ref_m = ref.get_mult(h, r, torch.tensor(0.2), torch.tensor(0.5), None)
+    _, our_m = ours._mults(0.2, 0.5, None)
+    assert len(our_m) == 2
+    for rm, om in zip(ref_m, our_m):
+        np.testing.assert_allclose(float(rm), om, rtol=1e-6)
+
+
+def test_sampling_smoke(rng):
+    """Tiny end-to-end: 4 denoise steps through the real DiT produce finite
+    latents of the right shape."""
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+
+    cfg = tiny_config()
+    model = CogVideoX(cfg)
+    B, frames, scenes, text_len = 1, 13, 1, 8
+    shape = (B, frames, cfg.in_channels, 8, 8)
+    text = jnp.asarray(rng.standard_normal((B, scenes, text_len, cfg.text_dim)), jnp.float32)
+    neg = jnp.zeros_like(text)
+
+    vid0 = jnp.zeros(shape, jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), vid0, text, jax.random.PRNGKey(1), bounds)
+
+    denoise_fn = S.make_cfg_denoise_fn(model, params, text, neg)
+    sampler = S.DPMPP2MSampler(num_steps=4, guider=S.DynamicCFG(scale=6, exp=5, num_steps=4))
+    out = sampler(jax.random.PRNGKey(7), denoise_fn, shape)
+    assert out.shape == shape
+    assert np.isfinite(np.asarray(out)).all()

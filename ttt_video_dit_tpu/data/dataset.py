@@ -1,0 +1,196 @@
+"""Precomputed-embedding dataset and fault-tolerant deterministic sampling.
+
+Host-side (numpy) counterpart of the reference's data pipeline
+(reference: ttt/datasets/preembedding_dataset.py, data_sampler.py): JSONL
+metadata pointing at precomputed VAE latent posteriors (mean+logvar) and
+per-scene T5 text embeddings; the posterior is sampled at load time and
+scaled. The sampler draws one shared seed-0 permutation, tracks an exact-resume
+``counter``, and is checkpointable.
+
+Differences from the reference, by design:
+- The SPMD train step consumes the *global* batch from one controller
+  process, so the sampler yields contiguous global batches instead of
+  rank-strided indices (multi-host feeding shards by jax.process_index()).
+- Tensor files may be torch ``.pt`` (loaded via torch-cpu and converted) or
+  ``.npy``/``.npz``.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def load_tensor(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data[list(data.keys())[0]]
+    # torch .pt — torch-cpu is a baked-in dependency used only as a file loader.
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    return t.to(torch.float32).numpy()
+
+
+def sample_diagonal_gaussian(parameters: np.ndarray, rng: np.random.Generator, channel_axis: int = 1) -> np.ndarray:
+    """Sample from a diagonal Gaussian stored as concat(mean, logvar) on
+    ``channel_axis`` (reference: ttt/models/vae/regularizers.py:10-23)."""
+    mean, logvar = np.split(parameters, 2, axis=channel_axis)
+    logvar = np.clip(logvar, -30.0, 20.0)
+    std = np.exp(0.5 * logvar)
+    return (mean + std * rng.standard_normal(mean.shape)).astype(np.float32)
+
+
+class PreembeddingDataset:
+    """JSONL-described dataset of precomputed latents + text embeddings."""
+
+    def __init__(self, dataset_path: Optional[str], scale_factor: float, jsonl_paths, seed: int = 0):
+        self.dataset_path = dataset_path or ""
+        self.scale_factor = scale_factor
+        self.metadata_list: List[dict] = []
+        self._rng = np.random.default_rng(seed)
+
+        if isinstance(jsonl_paths, str):
+            jsonl_paths = jsonl_paths.split(",")
+        for jsonl_path in jsonl_paths:
+            with open(jsonl_path, "r") as f:
+                for line in f:
+                    if line.strip():
+                        self.metadata_list.append(json.loads(line))
+
+    def __len__(self) -> int:
+        return len(self.metadata_list)
+
+    def abs_path(self, path: str) -> str:
+        return path if osp.isabs(path) else osp.join(self.dataset_path, path)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        err: Optional[Exception] = None
+        for _ in range(10):  # data-level fault tolerance (reference: :36-41)
+            try:
+                return self._load(index)
+            except Exception as e:  # noqa: BLE001 — deliberately broad, like the reference
+                err = e
+        raise RuntimeError(f"Failed to load sample {index} after 10 retries") from err
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
+        metadata = self.metadata_list[index]
+        posterior = load_tensor(self.abs_path(metadata["vid_emb"]))  # [T, 2C, H, W]
+        vae_emb = self.scale_factor * sample_diagonal_gaussian(posterior, self._rng, channel_axis=1)
+        txt = np.stack([load_tensor(self.abs_path(p)) for p in metadata["text_chunk_emb"]], axis=0)
+        return {"vid": vae_emb, "text": txt.astype(np.float32)}
+
+
+class FaultTolerantSampler:
+    """Deterministic shuffled index stream with exact-resume state
+    (reference: RandomFaultTolerantSampler, data_sampler.py:7-48).
+
+    One shared permutation (seed 0 by default) across all processes; the
+    ``counter`` records consumed samples for exact data-order resume.
+    """
+
+    def __init__(self, num_samples: int, seed: int = 0):
+        self.num_samples = num_samples
+        self._seed = seed
+        self._epoch_seed = seed
+        self.counter = 0
+        self._restarting = False
+
+    def state_dict(self) -> dict:
+        return {"epoch_seed": int(self._epoch_seed), "counter": int(self.counter)}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._epoch_seed = int(state["epoch_seed"])
+        self.counter = int(state.get("counter", 0))
+        self._restarting = True
+
+    def __iter__(self) -> Iterator[int]:
+        rng = np.random.default_rng(self._epoch_seed)
+        indices = rng.permutation(self.num_samples)
+        if self._restarting:
+            indices = indices[self.counter :]
+            self._restarting = False
+        else:
+            self.counter = 0
+        yield from indices.tolist()
+        # Next epoch draws a fresh (but deterministic) permutation.
+        self._epoch_seed += 1
+
+
+class DataModule:
+    """Assembles global batches with background prefetch.
+
+    For multi-host feeding, pass process_index/process_count: each host loads
+    its contiguous shard of every global batch (GSPMD stitches them into the
+    globally-sharded array via jax.make_array_from_process_local_data).
+    """
+
+    def __init__(
+        self,
+        dataset_path: Optional[str],
+        scale_factor: float,
+        jsonl_paths,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = PreembeddingDataset(dataset_path, scale_factor, jsonl_paths, seed=seed)
+        self.sampler = FaultTolerantSampler(len(self.dataset), seed=0)
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def batches(self, global_batch_size: int, prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite stream of per-process batch shards (size global/process_count)."""
+        assert global_batch_size % self.process_count == 0
+        local = global_batch_size // self.process_count
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            it = iter(self.sampler)
+            while not stop.is_set():
+                idxs = []
+                while len(idxs) < global_batch_size:
+                    try:
+                        idxs.append(next(it))
+                    except StopIteration:
+                        it = iter(self.sampler)  # dataloader reset (reference: train.py:28-33)
+                shard = idxs[self.process_index * local : (self.process_index + 1) * local]
+                samples = [self.dataset[i] for i in shard]
+                batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                self.sampler.counter += global_batch_size  # for exact resume (reference: train.py:43)
+                q.put(batch)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+class SyntheticDataModule:
+    """Drop-in synthetic-data module for smoke tests/benchmarks — generates
+    random latents/text embeddings with the right geometry."""
+
+    def __init__(self, vid_shape, text_shape, seed: int = 0):
+        self.vid_shape = vid_shape
+        self.text_shape = text_shape
+        self.sampler = FaultTolerantSampler(1 << 30, seed=seed)
+        self._rng = np.random.default_rng(seed)
+
+    def batches(self, global_batch_size: int, prefetch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            self.sampler.counter += global_batch_size
+            yield {
+                "vid": self._rng.standard_normal((global_batch_size, *self.vid_shape)).astype(np.float32),
+                "text": self._rng.standard_normal((global_batch_size, *self.text_shape)).astype(np.float32),
+            }

@@ -1,0 +1,79 @@
+"""Logging: rank-0 file+stdout logger, persisted stats history, optional wandb.
+
+Port of the reference's MultiLogger/WandBLogger
+(reference: ttt/infra/logging.py:19-147): process-0-only text log with a
+unique file name, a full stats history persisted each step (JSON here instead
+of ``all_stat_dict.pth``) and snapshotted into checkpoints, and a wandb run id
+that is carried through checkpoints for seamless resume.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+from typing import Any, Dict, Optional
+
+import jax
+
+
+class MultiLogger:
+    def __init__(self, dump_folder: str, exp_name: str = "job", enable_wandb: bool = False,
+                 wandb_project: str = "ttt-video", wandb_entity: Optional[str] = None,
+                 wandb_run_id: Optional[str] = None):
+        self.is_main = jax.process_index() == 0
+        self.dump_folder = dump_folder
+        self.stats: list[Dict[str, Any]] = []
+        self._wandb = None
+        self.wandb_run_id = wandb_run_id
+
+        if not self.is_main:
+            return
+
+        os.makedirs(dump_folder, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in exp_name)
+        self.log_path = os.path.join(dump_folder, f"log_{safe}_{stamp}.txt")
+        self.stats_path = os.path.join(dump_folder, "all_stats.json")
+        self._fh = open(self.log_path, "a")
+
+        if enable_wandb:
+            try:
+                import wandb
+
+                run = wandb.init(
+                    project=wandb_project,
+                    entity=wandb_entity,
+                    id=wandb_run_id,
+                    resume="must" if wandb_run_id else None,
+                )
+                self._wandb = wandb
+                self.wandb_run_id = run.id
+            except Exception as e:  # wandb optional; never fail training over it
+                self.write(f"wandb disabled ({e})")
+
+    def write(self, msg: str) -> None:
+        if not self.is_main:
+            return
+        line = f"[{datetime.datetime.now().strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        self._fh.write(line + "\n")
+        self._fh.flush()
+
+    def log_stats(self, step: int, stats: Dict[str, Any]) -> None:
+        if not self.is_main:
+            return
+        record = {"global_step": step, **stats}
+        self.stats.append(record)
+        if self._wandb is not None:
+            self._wandb.log(stats, step=step)
+        # Persist the full history each step (reference: logging.py:126-137).
+        with open(self.stats_path, "w") as f:
+            json.dump(self.stats, f)
+
+    def init_log(self, job_config, model_config, num_params: int) -> None:
+        self.write(f"experiment: {getattr(job_config.job, 'exp_name', '?')}")
+        self.write(f"devices: {jax.device_count()} ({jax.devices()[0].device_kind})")
+        self.write(f"parameters: {num_params:,}")
+        self.write(f"model config: {model_config}")
