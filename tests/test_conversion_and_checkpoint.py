@@ -1,0 +1,129 @@
+"""HF weight-map coverage test + orbax checkpoint round-trip test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_dit import tiny_config
+from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+from ttt_video_dit_tpu.models.dit.from_hf import map_hf_tensor
+from ttt_video_dit_tpu.training.checkpoint import Checkpointer, save_pretrained
+from ttt_video_dit_tpu.training import optimizer as opt_mod
+from ttt_video_dit_tpu.training.setup import create_train_state
+
+
+def _init(cfg, rng):
+    model = CogVideoX(cfg)
+    B = 1
+    vid = jnp.asarray(rng.standard_normal((B, 13, 16, 8, 8)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((B, 1, 8, cfg.text_dim)), jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), vid, text, jax.random.PRNGKey(1), bounds)
+    return model, params, (vid, text, bounds)
+
+
+def test_hf_key_map_targets_exist(rng):
+    """Every HF key pattern must land on an existing leaf with the right
+    shape in our param tree (fabricated HF tensors at debug-model scale)."""
+    cfg = tiny_config()
+    _, params, _ = _init(cfg, rng)
+    D, TD, TE = cfg.model_dim, cfg.text_dim, cfg.time_embed_dim
+
+    hf_shapes = {
+        "patch_embed.proj.weight": (D, cfg.in_channels, 2, 2),
+        "patch_embed.proj.bias": (D,),
+        "patch_embed.text_proj.weight": (D, TD),
+        "patch_embed.text_proj.bias": (D,),
+        "norm_final.weight": (D,),
+        "norm_final.bias": (D,),
+        "norm_out.norm.weight": (D,),
+        "norm_out.norm.bias": (D,),
+        "norm_out.linear.weight": (2 * D, TE),
+        "norm_out.linear.bias": (2 * D,),
+        "proj_out.weight": (2 * 2 * cfg.out_channels, D),
+        "proj_out.bias": (2 * 2 * cfg.out_channels,),
+        "time_embedding.linear_1.weight": (TE, D),
+        "time_embedding.linear_1.bias": (TE,),
+        "time_embedding.linear_2.weight": (TE, TE),
+        "time_embedding.linear_2.bias": (TE,),
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}."
+        F = cfg.head_dim
+        hf_shapes.update(
+            {
+                p + "attn1.norm_q.weight": (F,),
+                p + "attn1.norm_q.bias": (F,),
+                p + "attn1.norm_k.weight": (F,),
+                p + "attn1.norm_k.bias": (F,),
+                p + "attn1.to_q.weight": (D, D),
+                p + "attn1.to_q.bias": (D,),
+                p + "attn1.to_k.weight": (D, D),
+                p + "attn1.to_k.bias": (D,),
+                p + "attn1.to_v.weight": (D, D),
+                p + "attn1.to_v.bias": (D,),
+                p + "attn1.to_out.0.weight": (D, D),
+                p + "attn1.to_out.0.bias": (D,),
+                p + "ff.net.0.proj.weight": (4 * D, D),
+                p + "ff.net.0.proj.bias": (4 * D,),
+                p + "ff.net.2.weight": (D, 4 * D),
+                p + "ff.net.2.bias": (D,),
+                p + "norm1.linear.weight": (6 * D, TE),
+                p + "norm1.linear.bias": (6 * D,),
+                p + "norm1.norm.weight": (D,),
+                p + "norm1.norm.bias": (D,),
+                p + "norm2.linear.weight": (6 * D, TE),
+                p + "norm2.linear.bias": (6 * D,),
+                p + "norm2.norm.weight": (D,),
+                p + "norm2.norm.bias": (D,),
+            }
+        )
+
+    n_checked = 0
+    for key, shape in hf_shapes.items():
+        mapped = map_hf_tensor(key, np.zeros(shape, np.float32))
+        assert mapped is not None, f"unmapped HF key {key}"
+        path, arr = mapped
+        node = params
+        for p in path[:-1]:
+            assert p in node, f"{key}: missing node {p} in path {path}"
+            node = node[p]
+        assert path[-1] in node, f"{key}: missing leaf {path}"
+        assert node[path[-1]].shape == arr.shape, f"{key}: {node[path[-1]].shape} != {arr.shape}"
+        n_checked += 1
+    assert n_checked == len(hf_shapes)
+
+
+def test_checkpoint_round_trip(rng, tmp_path):
+    cfg = tiny_config()
+    model, params, (vid, text, bounds) = _init(cfg, rng)
+    trainable, _ = opt_mod.partition_params(params, "sft")
+    tx, _, _ = opt_mod.build_optimizer(trainable, lr=1e-3, lr_ssm=1e-3, lr_end=0.0, warmup_steps=1, total_steps=10)
+    state = create_train_state(params, tx, "sft")
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    sampler_state = {"epoch_seed": 0, "counter": 128}
+    ckpt.save(3, state, sampler_state, {"wandb_id": "run123"})
+    ckpt.wait()
+    assert ckpt.latest_step() == 3
+
+    abstract = jax.eval_shape(lambda: state)
+    step, restored, restored_sampler, metadata = ckpt.restore(-1, abstract)
+    assert step == 3
+    assert restored_sampler == sampler_state
+    assert metadata["wandb_id"] == "run123"
+    for a, b in zip(jax.tree.leaves(state.trainable), jax.tree.leaves(restored.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrained_save_load(rng, tmp_path):
+    cfg = tiny_config()
+    model, params, (vid, text, bounds) = _init(cfg, rng)
+    path = str(tmp_path / "pretrained")
+    save_pretrained(path, params)
+
+    ckpt = Checkpointer(str(tmp_path / "unused"))
+    loaded = ckpt.load_pretrained(path, jax.eval_shape(lambda: params))
+    out_a = model.apply(params, vid, text, jax.random.PRNGKey(2), bounds)
+    out_b = model.apply(loaded, vid, text, jax.random.PRNGKey(2), bounds)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

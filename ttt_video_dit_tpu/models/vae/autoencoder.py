@@ -1,0 +1,210 @@
+"""VAE inference wrapper: temporal-tiled encode/decode with conv-cache carry,
+diagonal-Gaussian regularization, and torch-checkpoint weight conversion.
+
+Counterpart of the reference's ``VideoAutoencoderInferenceWrapper``
+(reference: ttt/models/vae/autoencoder.py:70-234): encode in 48+1-frame
+windows, decode in 2-latent-frame windows (first window gets the extra causal
+frame), threading each CausalConv3d's cached tail between windows instead of
+the reference's CPU cache_padding tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttt_video_dit_tpu.config.model_config import VaeModelConfig
+from ttt_video_dit_tpu.models.vae.enc_dec import Decoder3D, Encoder3D
+
+
+def _to_channels_last(x):  # [B, C, T, H, W] -> [B, T, H, W, C]
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def _to_channels_first(x):  # [B, T, H, W, C] -> [B, C, T, H, W]
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+class VideoAutoencoder:
+    """Functional inference wrapper holding encoder/decoder params."""
+
+    def __init__(
+        self,
+        encoder_config: Optional[VaeModelConfig] = None,
+        decoder_config: Optional[VaeModelConfig] = None,
+        enc_params=None,
+        dec_params=None,
+        scale_factor: float = 1.0,
+    ):
+        self.encoder_config = encoder_config or VaeModelConfig.get_encoder_config()
+        self.decoder_config = decoder_config or VaeModelConfig.get_decoder_config()
+        self.encoder = Encoder3D(self.encoder_config)
+        self.decoder = Decoder3D(self.decoder_config)
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+        self.scale_factor = scale_factor
+
+        self._enc_apply = jax.jit(
+            lambda v, x, first: self.encoder.apply(v, x, first=first, mutable=["cache"]),
+            static_argnames=("first",),
+        )
+        self._dec_apply = jax.jit(
+            lambda v, z, first: self.decoder.apply(v, z, first=first, mutable=["cache"]),
+            static_argnames=("first",),
+        )
+
+    # ------------------------------------------------------------- init
+    def init_random(self, rng, spatial: int = 256, latent_spatial: int = 32):
+        """Random-init both halves (tests / smoke runs)."""
+        r1, r2 = jax.random.split(jax.random.PRNGKey(0) if rng is None else rng)
+        x = jnp.zeros((1, 1, spatial, spatial, self.encoder_config.in_channels))
+        z = jnp.zeros((1, 1, latent_spatial, latent_spatial, self.decoder_config.z_channels))
+        ev = self.encoder.init(r1, x)
+        dv = self.decoder.init(r2, z)
+        self.enc_params = {"params": ev["params"]}
+        self.dec_params = {"params": dv["params"]}
+        return self
+
+    # ------------------------------------------------------- tiled encode
+    def encode_first_stage(self, x, unregularized: bool = True, window: int = 48):
+        """x: [B, C, T, H, W] pixels in [-1, 1]; T = n*window + 1.
+
+        Returns latent posterior params [B, 2*z, T_lat, h, w] (unregularized)
+        or a sampled latent (regularized not implemented — precompute stores
+        the posterior; reference: data/precomp_video.py saves unregularized).
+        """
+        assert unregularized, "store posteriors; sample at load time (reference precompute behavior)"
+        x = _to_channels_last(jnp.asarray(x, jnp.float32))
+        T = x.shape[1]
+        n_windows = max((T - 1) // window, 1) if T > 1 else 1
+
+        cache = {}
+        outs = []
+        for i in range(n_windows):
+            start, end = (0, window + 1) if i == 0 else (window * i + 1, window * (i + 1) + 1)
+            part = x[:, start:end]
+            variables = {"params": self.enc_params["params"], **({"cache": cache} if cache else {})}
+            out, mut = self._enc_apply(variables, part, first=(i == 0))
+            cache = mut["cache"]
+            outs.append(out)
+        z = jnp.concatenate(outs, axis=1)
+        return _to_channels_first(z)
+
+    # ------------------------------------------------------- tiled decode
+    def decode_first_stage(self, z, window: int = 2):
+        """z: [B, C, T_lat, h, w] scaled latents -> pixels [B, C, T, H, W]."""
+        z = jnp.asarray(z, jnp.float32) / self.scale_factor
+        z = _to_channels_last(z)
+        T = z.shape[1]
+        n_windows = T // window
+
+        cache = {}
+        outs = []
+        for i in range(n_windows):
+            start, end = (0, window + 1) if i == 0 else (window * i + 1, window * (i + 1) + 1)
+            part = z[:, start:end]
+            variables = {"params": self.dec_params["params"], **({"cache": cache} if cache else {})}
+            out, mut = self._dec_apply(variables, part, first=(i == 0))
+            cache = mut["cache"]
+            outs.append(out)
+        x = jnp.concatenate(outs, axis=1)
+        return _to_channels_first(x)
+
+    def decode(self, latents: np.ndarray) -> np.ndarray:
+        """Convenience for sampling: [T, C, h, w] latents -> [T_out, H, W, 3]
+        float frames in [-1, 1]."""
+        z = jnp.asarray(latents)[None].transpose(0, 2, 1, 3, 4)  # [1, C, T, h, w]
+        x = self.decode_first_stage(z)  # [1, 3, T_out, H, W]
+        return np.asarray(jnp.transpose(x[0], (1, 2, 3, 0)))
+
+    # ------------------------------------------------------------ loading
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, scale_factor: float = 1.0, version: float = 1.0):
+        enc_cfg = VaeModelConfig.get_encoder_config(version)
+        dec_cfg = VaeModelConfig.get_decoder_config(version)
+        vae = cls(enc_cfg, dec_cfg, scale_factor=scale_factor)
+        enc_params, dec_params = load_torch_vae_checkpoint(path)
+        vae.enc_params, vae.dec_params = {"params": enc_params}, {"params": dec_params}
+        return vae
+
+    @classmethod
+    def load_decoder(cls, path: str, scale_factor: float = 1.0, version: float = 1.0):
+        return cls.from_torch_checkpoint(path, scale_factor, version)
+
+
+# ------------------------------------------------------- weight conversion
+
+
+def _convert_tensor(key: str, value: np.ndarray) -> tuple[str, np.ndarray]:
+    """Map a torch parameter name+tensor to flax (leaf name, transposed array)."""
+    if key.endswith(".weight"):
+        if value.ndim == 5:  # Conv3d [O, I, kt, kh, kw] -> [kt, kh, kw, I, O]
+            return "kernel", value.transpose(2, 3, 4, 1, 0)
+        if value.ndim == 4:  # Conv2d [O, I, kh, kw] -> [kh, kw, I, O]
+            return "kernel", value.transpose(2, 3, 1, 0)
+        if value.ndim == 2:  # Linear [O, I] -> [I, O]
+            return "kernel", value.transpose(1, 0)
+        return "scale", value  # norm weight
+    return "bias", value
+
+
+def _map_torch_key(key: str) -> tuple:
+    """torch module path -> our flax param path (tuple of names).
+
+    e.g. encoder.down.0.block.1.conv1.conv.weight
+      -> ('down_0_block_1', 'conv1', 'conv', ...)
+    """
+    parts = key.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in ("down", "up") and i + 3 < len(parts) and parts[i + 1].isdigit():
+            level = parts[i + 1]
+            kind = parts[i + 2]
+            if kind == "block":
+                out.append(f"{p}_{level}_block_{parts[i + 3]}")
+                i += 4
+            else:  # downsample / upsample
+                out.append(f"{p}_{level}_{kind}")
+                i += 3
+        elif p == "mid":
+            out.append(f"mid_{parts[i + 1]}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out)
+
+
+def load_torch_vae_checkpoint(path: str):
+    """Load the reference VAE torch checkpoint (``state_dict`` with
+    ``encoder.*`` / ``decoder.*`` keys) into flax param trees."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+
+    enc: dict = {}
+    dec: dict = {}
+    for key, tensor in sd.items():
+        if key.startswith("encoder."):
+            tree, sub = enc, key[len("encoder."):]
+        elif key.startswith("decoder."):
+            tree, sub = dec, key[len("decoder."):]
+        else:
+            continue
+        value = tensor.to(torch.float32).numpy()
+        leaf, value = _convert_tensor(sub, value)
+        # GroupNorms nest under a 'norm' module in our CausalConv-free blocks.
+        path_parts = list(_map_torch_key(sub[: sub.rfind(".")]))
+        node = tree
+        for part in path_parts:
+            node = node.setdefault(part, {})
+        node[leaf] = value
+    return enc, dec
