@@ -28,7 +28,7 @@ def main():
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--use-kernel", action="store_true", default=False)
+    parser.add_argument("--use-kernel", action="store_true", default=True)
     parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
     parser.add_argument("--remat", default="block", choices=["block", "none", "full"],
                         help="activation-checkpointing preset for the bench model")

@@ -95,3 +95,13 @@ def test_kernel_grads_with_padded_nc(rng):
     go = jax.grad(lambda *a: jnp.sum(ttt_scan.ttt_linear(*a, checkpoint_group_size=4) ** 2), argnums=(0, 4, 6))(*args)
     for a, b in zip(gk, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_mlp_fused_bwd_grads_with_padded_nc(rng):
+    """Fused Pallas MLP backward through eta=0 padded mini-batches."""
+    args = _inputs(rng, mlp=True)
+    argnums = tuple(range(len(args)))
+    gk = jax.grad(lambda *a: jnp.sum(ttt_vjp.ttt_mlp_fused(4, True, *a) ** 2), argnums=argnums)(*args)
+    go = jax.grad(lambda *a: jnp.sum(ttt_scan.ttt_mlp(*a, checkpoint_group_size=4) ** 2), argnums=argnums)(*args)
+    for i, (a, b) in enumerate(zip(gk, go)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3, err_msg=f"argnum {i}")

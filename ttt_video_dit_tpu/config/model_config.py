@@ -43,12 +43,11 @@ class ModelConfig:
     ttt_base_lr: float = 0.1
     rope_theta: float = 10000.0
     scan_checkpoint_group_size: int = 16
-    # Pallas TTT kernels vs. pure lax.scan oracle. The fused forward kernel
-    # beats the XLA scan (enable for sampling); for training the hybrid
-    # checkpoint-group backward currently loses to XLA's scan autodiff, so
-    # training defaults to the oracle until the full Pallas backward lands
-    # (v5e, 3s geometry, 16 heads: fwd 10.4 vs 14.4 ms; fwd+bwd 55 vs 42 ms).
-    use_kernel: bool = False
+    # Pallas TTT kernels vs. pure lax.scan oracle. Both directions are fused
+    # Pallas kernels and beat the XLA scan (v5e, 3s geometry, 16 heads:
+    # fwd 10.4 vs 14.4 ms; fwd+bwd 32.9 vs 42.1 ms); the oracle remains the
+    # numerical reference (parity-tested values and gradients).
+    use_kernel: bool = True
 
     adapter_method: str = "none"  # none | sft | qkvo
 

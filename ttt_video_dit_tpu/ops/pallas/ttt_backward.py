@@ -1,0 +1,383 @@
+"""Fully-fused Pallas TPU backward kernels for the TTT inner loop.
+
+Replaces the hybrid (XLA-recompute) backward in ttt_vjp.py with the same
+strategy as the reference's Triton backward
+(reference: ttt/models/ssm/kernels/linear_backward.py:208-520) and the
+ThunderKittens backward (reference: mlp_tk.py:156-275): iterate checkpoint
+groups in *reverse* grid order; per group, pass A re-runs the forward from the
+checkpointed state stashing the per-step fast-weight states in VMEM, then
+pass B walks the group backwards applying the hand-derived step VJP (validated
+against autodiff in tests/test_ln_vjp.py / test_pallas_backward.py).
+
+All row-reductions use the ones-matmul trick and biases stay row-replicated
+(see ttt_forward.py docstring for the Mosaic sublane-broadcast pitfall).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh
+from ttt_video_dit_tpu.ops.pallas.ttt_forward import _bmm
+
+
+def gelu_bwd2(x):
+    """Second derivative of tanh-approx GELU (for grad-of-grad in the MLP
+    backward). phi'(x) with phi = gelu_bwd; validated vs autodiff."""
+    a = 0.79788456
+    c3 = 0.1070322243  # 3c where u = a x + c x^3
+    u = a * x + (c3 / 3.0) * x * x * x
+    T = jnp.tanh(u)
+    up = a + c3 * x * x
+    upp = 2.0 * c3 * x
+    return (1.0 - T * T) * (up + 0.5 * x * (upp - 2.0 * T * up * up))
+
+
+def _ln_stats(x, eps=1e-8):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    std = jnp.sqrt(var + eps)
+    return (x - mu) / std, std
+
+
+def _ln_fwd_from(x_hat, lnw, lnb):
+    return lnw * x_hat + lnb
+
+
+def _ln_fused_l2(x_hat, std, target, lnw, lnb):
+    """Forward inner-loop gradient from precomputed stats."""
+    y = lnw * x_hat + lnb
+    gx = lnw * (y - target)
+    m2 = jnp.mean(gx * x_hat, axis=-1, keepdims=True)
+    return (gx - jnp.mean(gx, axis=-1, keepdims=True) - x_hat * m2) / std
+
+
+def _ln_fwd_vjp_rows(x_hat, std, lnw, u):
+    """VJP of ln_fwd: returns (dx, dgamma_rows, dbeta_rows) with the gamma/beta
+    integrands left per-row (caller accumulates then row-sums)."""
+    w = lnw * u
+    dx = (w - jnp.mean(w, axis=-1, keepdims=True) - x_hat * jnp.mean(w * x_hat, axis=-1, keepdims=True)) / std
+    return dx, u * x_hat, u
+
+
+def _ln_fused_l2_vjp_rows(x_hat, std, target, lnw, lnb, u):
+    """VJP of the fused LN-L2 gradient (second-order LN term). Returns
+    (dx, dtarget, dgamma_rows, dbeta_rows)."""
+    D = x_hat.shape[-1]
+    y = lnw * x_hat + lnb
+    gx = lnw * (y - target)
+    m2 = jnp.mean(gx * x_hat, axis=-1, keepdims=True)
+    z = (gx - jnp.mean(gx, axis=-1, keepdims=True) - x_hat * m2) / std
+
+    mean_u = jnp.mean(u, axis=-1, keepdims=True)
+    mean_ux = jnp.mean(u * x_hat, axis=-1, keepdims=True)
+    dgx = (u - mean_u - x_hat * mean_ux) / std
+    dx_hat = -(m2 * u + gx * mean_ux) / std + lnw * lnw * dgx
+    dstd = -jnp.sum(u * z, axis=-1, keepdims=True) / std
+
+    dx = (
+        dx_hat
+        - jnp.mean(dx_hat, axis=-1, keepdims=True)
+        - x_hat * jnp.mean(dx_hat * x_hat, axis=-1, keepdims=True)
+    ) / std + dstd * x_hat / D
+    dtarget = -lnw * dgx
+    dgamma_rows = dgx * (y - target) + dgx * lnw * x_hat
+    dbeta_rows = dgx * lnw
+    return dx, dtarget, dgamma_rows, dbeta_rows
+
+
+def _rowsum_rep(x, ones_cs):
+    """ones[CS,CS] @ x — every row = column sums (row-replicated)."""
+    return _bmm(ones_cs, x)
+
+
+# ------------------------------------------------------------------ MLP bwd
+
+
+def _mlp_bwd_kernel(K: int, NG: int,
+                    xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+                    w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
+                    dxq_ref, dxk_ref, dxv_ref, deta_ref,
+                    dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref,
+                    w1_stash, b1_stash, w2_stash, b2_stash,
+                    dw1_c, db1_c, dw2_c, db2_c, dlnw_acc, dlnb_acc):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dw1_c[:] = jnp.zeros_like(dw1_c)
+        db1_c[:] = jnp.zeros_like(db1_c)
+        dw2_c[:] = jnp.zeros_like(dw2_c)
+        db2_c[:] = jnp.zeros_like(db2_c)
+        dlnw_acc[:] = jnp.zeros_like(dlnw_acc)
+        dlnb_acc[:] = jnp.zeros_like(dlnb_acc)
+
+    lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F] row-replicated
+    lnb = lnb_ref[:].astype(jnp.float32)
+    G_heads, CS, F = lnw.shape
+    dt = xq_ref.dtype
+    ones_cs = jnp.ones((G_heads, CS, CS), dt)
+
+    # ---- Pass A: recompute forward through the group, stashing states.
+    def fwd_body(i, state):
+        W1, b1, W2, b2 = state  # [G,F,4F], [G,CS,4F] (rows identical), ...
+        w1_stash[i] = W1
+        b1_stash[i] = b1[:, 0:8] * 0.125
+        w2_stash[i] = W2
+        b2_stash[i] = b2[:, 0:8] * 0.125
+
+        XQ = xq_ref[0, :, i]
+        XK = xk_ref[0, :, i]
+        XV = xv_ref[0, :, i]
+        eta = eta_ref[0, :, i].astype(jnp.float32)
+
+        Z1 = _bmm(XK, W1.astype(dt)) + b1
+        X2 = gelu_tanh(Z1)
+        X2c = X2.astype(dt)
+        Z2 = _bmm(X2c, W2.astype(dt)) + b2
+        target = (XV - XK).astype(jnp.float32)
+        z2_hat, std2 = _ln_stats(Z2)
+        grad_z2 = _ln_fused_l2(z2_hat, std2, target, lnw, lnb)
+        grad_z1 = _bmm(grad_z2.astype(dt), W2.astype(dt), transpose_b=True) * gelu_bwd(Z1)
+        G1 = (eta * grad_z1).astype(dt)
+        G2 = (eta * grad_z2).astype(dt)
+        b1n = b1 - _rowsum_rep(G1, ones_cs)
+        b2n = b2 - _rowsum_rep(G2, ones_cs)
+        W1n = W1 - _bmm(XK, G1, transpose_a=True)
+        W2n = W2 - _bmm(X2c, G2, transpose_a=True)
+        return (W1n, b1n, W2n, b2n)
+
+    init = (w1ck_ref[0, :, 0], b1ck_ref[0, :, 0], w2ck_ref[0, :, 0], b2ck_ref[0, :, 0])
+    jax.lax.fori_loop(0, K, fwd_body, init)
+
+    # ---- Pass B: reverse through the group applying the step VJP.
+    def bwd_body(jj, _):
+        j = K - 1 - jj
+        W1 = w1_stash[j]
+        b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
+        W2 = w2_stash[j]
+        b2 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b2_stash[j])
+
+        XQ = xq_ref[0, :, j]
+        XK = xk_ref[0, :, j]
+        XV = xv_ref[0, :, j]
+        eta = eta_ref[0, :, j].astype(jnp.float32)
+        d_out = dout_ref[0, :, j].astype(jnp.float32)
+
+        # Recompute the step's forward intermediates.
+        Z1 = _bmm(XK, W1.astype(dt)) + b1
+        phi = gelu_bwd(Z1)
+        X2 = gelu_tanh(Z1)
+        X2c = X2.astype(dt)
+        Z2 = _bmm(X2c, W2.astype(dt)) + b2
+        target = (XV - XK).astype(jnp.float32)
+        z2_hat, std2 = _ln_stats(Z2)
+        g2 = _ln_fused_l2(z2_hat, std2, target, lnw, lnb)
+        P = _bmm(g2.astype(dt), W2.astype(dt), transpose_b=True)
+        g1 = P * phi
+        G1 = (eta * g1).astype(dt)
+        G2 = (eta * g2).astype(dt)
+        A1 = _bmm(XQ, XK, transpose_b=True)
+        Zb1 = _bmm(XQ, W1.astype(dt)) - _bmm(A1.astype(dt), G1) + b1 - _rowsum_rep(G1, ones_cs)
+        Xb2 = gelu_tanh(Zb1)
+        Xb2c = Xb2.astype(dt)
+        A2 = _bmm(Xb2c, X2c, transpose_b=True)
+        Zb2 = _bmm(Xb2c, W2.astype(dt)) - _bmm(A2.astype(dt), G2) + b2 - _rowsum_rep(G2, ones_cs)
+        zb2_hat, stdb2 = _ln_stats(Zb2)
+
+        # (1) out = XQ + LN(Zb2)
+        dZb2, dgw, dgb = _ln_fwd_vjp_rows(zb2_hat, stdb2, lnw, d_out)
+        dlnw_acc[:] = dlnw_acc[:] + dgw
+        dlnb_acc[:] = dlnb_acc[:] + dgb
+        dXQ = d_out
+        dZb2c = dZb2.astype(dt)
+
+        # (2) Zb2 = Xb2@W2 - A2@G2 + b2'
+        dXb2 = _bmm(dZb2c, W2.astype(dt), transpose_b=True)
+        dW2 = _bmm(Xb2c, dZb2c, transpose_a=True)
+        dA2 = -_bmm(dZb2c, G2, transpose_b=True)
+        dG2 = -_bmm(A2.astype(dt), dZb2c, transpose_a=True)
+        # Bias cotangents use the row-replicated representation: every row of
+        # db*_c equals the true (1, F) cotangent, so S = colsum(G) backward
+        # (dG -= broadcast_rows(db_tot)) is a plain elementwise subtract.
+        db2_tot = db2_c[:] + _rowsum_rep(dZb2, ones_cs)
+        dG2 = dG2 - db2_tot
+
+        # (3) A2 = Xb2 @ X2^T
+        dXb2 = dXb2 + _bmm(dA2.astype(dt), X2c)
+        dX2 = _bmm(dA2.astype(dt), Xb2c, transpose_a=True)
+
+        # (4) Xb2 = gelu(Zb1)
+        dZb1 = gelu_bwd(Zb1) * dXb2
+        dZb1c = dZb1.astype(dt)
+
+        # (5) Zb1 = XQ@W1 - A1@G1 + b1'
+        dXQ = dXQ + _bmm(dZb1c, W1.astype(dt), transpose_b=True)
+        dW1 = _bmm(XQ, dZb1c, transpose_a=True)
+        dA1 = -_bmm(dZb1c, G1, transpose_b=True)
+        dG1 = -_bmm(A1.astype(dt), dZb1c, transpose_a=True)
+        db1_tot = db1_c[:] + _rowsum_rep(dZb1, ones_cs)
+        dG1 = dG1 - db1_tot
+
+        # (6) weight updates W' = W - X^T G
+        dW2 = dW2 + dw2_c[:]
+        dX2 = dX2 - _bmm(G2, dw2_c[:].astype(dt), transpose_b=True)
+        dG2 = dG2 - _bmm(X2c, dw2_c[:].astype(dt))
+        dW1 = dW1 + dw1_c[:]
+        dXK = -_bmm(G1, dw1_c[:].astype(dt), transpose_b=True)
+        dG1 = dG1 - _bmm(XK, dw1_c[:].astype(dt))
+
+        # (7) A1 = XQ @ XK^T
+        dXQ = dXQ + _bmm(dA1.astype(dt), XK)
+        dXK = dXK + _bmm(dA1.astype(dt), XQ, transpose_a=True)
+
+        # (8) G = eta * g
+        de = jnp.sum(dG2 * g2, axis=-1, keepdims=True) + jnp.sum(dG1 * g1, axis=-1, keepdims=True)
+        dg2 = eta * dG2
+        dg1 = eta * dG1
+
+        # (9) g1 = (g2 @ W2^T) * phi(Z1)
+        dP = dg1 * phi
+        dZ1 = dg1 * P * gelu_bwd2(Z1)
+        dPc = dP.astype(dt)
+        dg2 = dg2 + _bmm(dPc, W2.astype(dt))
+        dW2 = dW2 + _bmm(dPc, g2.astype(dt), transpose_a=True)
+
+        # (10) g2 = L(Z2, target)
+        dZ2, dtarget, dgw2, dgb2 = _ln_fused_l2_vjp_rows(z2_hat, std2, target, lnw, lnb, dg2)
+        dlnw_acc[:] = dlnw_acc[:] + dgw2
+        dlnb_acc[:] = dlnb_acc[:] + dgb2
+
+        # (11) Z2 = X2@W2 + b2
+        dZ2c = dZ2.astype(dt)
+        dX2 = dX2 + _bmm(dZ2c, W2.astype(dt), transpose_b=True)
+        dW2 = dW2 + _bmm(X2c, dZ2c, transpose_a=True)
+        db2_new = db2_tot + _rowsum_rep(dZ2, ones_cs)
+
+        # (12) target = XV - XK
+        dXV = dtarget
+        dXK = dXK - dtarget
+
+        # (13) X2 = gelu(Z1)
+        dZ1 = dZ1 + phi * dX2
+        dZ1c = dZ1.astype(dt)
+
+        # (14) Z1 = XK@W1 + b1
+        dXK = dXK + _bmm(dZ1c, W1.astype(dt), transpose_b=True)
+        dW1 = dW1 + _bmm(XK, dZ1c, transpose_a=True)
+        db1_new = db1_tot + _rowsum_rep(dZ1, ones_cs)
+
+        # Store outputs and carries.
+        dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
+        dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
+        dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
+        deta_ref[0, :, j] = de.astype(deta_ref.dtype)
+        dw1_c[:] = dW1
+        db1_c[:] = db1_new
+        dw2_c[:] = dW2
+        db2_c[:] = db2_new
+        return 0
+
+    jax.lax.fori_loop(0, K, bwd_body, 0)
+
+    # Flush param grads every step (same-index output block; final grid step
+    # — group 0 — wins).
+    dw1_ref[0] = dw1_c[:]
+    db1_ref[0] = db1_c[:]
+    dw2_ref[0] = dw2_c[:]
+    db2_ref[0] = db2_c[:]
+    dlnw_ref[0] = dlnw_acc[:]
+    dlnb_ref[0] = dlnb_acc[:]
+
+
+def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, mlp: bool) -> int:
+    """Head group sized so the per-step state stash fits comfortably in VMEM."""
+    if mlp:
+        per_head_step = 2 * head_dim * 4 * head_dim * 4 + 2 * 8 * 4 * head_dim * 4
+    else:
+        per_head_step = head_dim * head_dim * 4 + 8 * head_dim * 4
+    budget = 5 * 1024 * 1024
+    g = max(1, min(num_heads, budget // max(per_head_step * K, 1)))
+    while g > 1 and not (num_heads % g == 0 and (g == num_heads or g % 8 == 0)):
+        g -= 1
+    if num_heads % g != 0 or (g != num_heads and g % 8 != 0):
+        g = 1 if num_heads % 8 != 0 else g
+    if num_heads % g != 0:
+        g = num_heads
+    return g
+
+
+def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
+                     checkpoint_group_size: int, interpret: bool = False,
+                     head_group: int | None = None):
+    """Fused backward. Inputs are the (already eta=0-padded to NC % K == 0)
+    tensors plus the forward kernel's state checkpoints (b ckpts row-replicated
+    [B,H,NG,CS,F']) and the output cotangent ``g``.
+
+    Returns (dXQ, dXK, dXV, deta, d_lnw [B,H,CS,F], d_lnb [B,H,CS,F],
+    dW1 [B,H,F,4F], db1 [B,H,CS,4F], dW2, db2) — ln/bias grads row-replicated
+    and per-batch; the caller reduces.
+    """
+    B, H, NC, CS, F = XQ.shape
+    F4 = w1_ck.shape[-1]
+    K = min(max(checkpoint_group_size, 1), NC)
+    assert NC % K == 0, "pad NC to a multiple of the checkpoint group first"
+    NG = NC // K
+    G = head_group or pick_bwd_head_group(H, F, K, mlp=True)
+    HG = H // G
+
+    rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
+    x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
+    eta_spec = pl.BlockSpec((1, G, K, CS, 1), rev_x, memory_space=pltpu.VMEM)
+    ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
+    ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
+    state_map = lambda i, n: (i // HG, i % HG, 0, 0)
+    out_state = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
+    out_ln = pl.BlockSpec((1, G, CS, F), state_map, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, K, NG),
+        grid=(B * HG, NG),
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+                  ck_spec(F, F4), ck_spec(CS, F4), ck_spec(F4, F), ck_spec(CS, F),
+                  x_spec(F)],
+        out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
+                   out_state(F, F4), out_state(CS, F4), out_state(F4, F), out_state(CS, F),
+                   out_ln, out_ln),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NC, CS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, F, F4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, F4, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, G, F, F4), jnp.float32),
+            pltpu.VMEM((K, G, 8, F4), jnp.float32),
+            pltpu.VMEM((K, G, F4, F), jnp.float32),
+            pltpu.VMEM((K, G, 8, F), jnp.float32),
+            pltpu.VMEM((G, F, F4), jnp.float32),
+            pltpu.VMEM((G, CS, F4), jnp.float32),
+            pltpu.VMEM((G, F4, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        XQ, XK, XV, eta[..., None],
+        jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
+        jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
+        w1_ck, b1_ck, w2_ck, b2_ck, g,
+    )
+    return outs

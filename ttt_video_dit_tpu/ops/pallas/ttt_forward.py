@@ -237,7 +237,9 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
     )
-    return out, w_ckpt, b_ckpt[:, :, :, 0:1, :]
+    # b checkpoints returned row-replicated [B,H,NG,CS,F]; consumers that
+    # want the canonical [B,H,NG,1,F] slice row 0.
+    return out, w_ckpt, b_ckpt
 
 
 def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int,
@@ -276,4 +278,4 @@ def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_grou
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
         W2.astype(jnp.float32), _replicate_rows(b2.astype(jnp.float32), CS),
     )
-    return out, w1_ck, b1_ck[:, :, :, 0:1, :], w2_ck, b2_ck[:, :, :, 0:1, :]
+    return out, w1_ck, b1_ck, w2_ck, b2_ck

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 from ttt_video_dit_tpu.ops import ttt_scan
 from ttt_video_dit_tpu.ops.pallas import ttt_forward
 
+# Use the fully-fused Pallas backward kernels (ttt_backward.py); falls back to
+# the XLA checkpoint-group backward below when disabled.
+USE_FUSED_BWD = True
+
 
 def _pad_nc(x, pad):
     if pad == 0:
@@ -108,7 +112,8 @@ def _linear_bwd(K, interpret, res, g):
     xs_grouped = (gp(XQ), gp(XK), gp(XV), gp(eta))
     g_grouped = gp(g.astype(jnp.float32))
 
-    # Checkpoints: [B,H,NG,...] -> [NG,B,H,...]
+    # Checkpoints: [B,H,NG,...] -> [NG,B,H,...]; b ckpts arrive row-replicated.
+    b_ck = b_ck[:, :, :, 0:1, :]
     ck = lambda c: jnp.moveaxis(c, 2, 0)
     ckpts = (ck(w_ck), ck(b_ck))
 
@@ -154,12 +159,32 @@ def _mlp_bwd(K, interpret, res, g):
     XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck = res
     B, H, NC, CS, F = XQ.shape
     pad = (-NC) % K
+
+    if USE_FUSED_BWD:
+        from ttt_video_dit_tpu.ops.pallas import ttt_backward
+
+        outs = ttt_backward.ttt_mlp_backward(
+            _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+            ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
+            _pad_nc(g.astype(jnp.float32), pad), K, interpret=interpret,
+        )
+        dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
+        sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+        return (
+            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de[..., 0], eta),
+            jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
+            jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
+            dW1, db1[:, :, 0:1, :], dW2, db2[:, :, 0:1, :],
+        )
+
     NG = (NC + pad) // K
 
     gp = lambda x: _group_axes(_pad_nc(x, pad), NG, K)
     xs_grouped = (gp(XQ), gp(XK), gp(XV), gp(eta))
     g_grouped = gp(g.astype(jnp.float32))
 
+    b1_ck = b1_ck[:, :, :, 0:1, :]
+    b2_ck = b2_ck[:, :, :, 0:1, :]
     ck = lambda c: jnp.moveaxis(c, 2, 0)
     ckpts = (ck(w1_ck), ck(b1_ck), ck(w2_ck), ck(b2_ck))
 
