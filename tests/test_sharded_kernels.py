@@ -1,0 +1,58 @@
+"""Pallas TTT kernels under a multi-device mesh: shard_map dispatch parity
+(interpret mode, 8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttt_video_dit_tpu.ops import ttt_scan
+from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
+from ttt_video_dit_tpu.parallel.mesh import build_mesh, use_mesh
+
+B, H, NC, CS, F = 2, 4, 4, 16, 32
+
+
+def _inputs(rng):
+    shp = (B, H, NC, CS, F)
+    return (
+        jnp.asarray(rng.standard_normal(shp), jnp.float32),
+        jnp.asarray(rng.standard_normal(shp), jnp.float32),
+        jnp.asarray(rng.standard_normal(shp), jnp.float32),
+        jnp.asarray(rng.uniform(0.001, 0.01, (B, H, NC, CS)), jnp.float32),
+        jnp.asarray(rng.standard_normal((H, F)), jnp.float32),
+        jnp.asarray(rng.standard_normal((H, F)), jnp.float32),
+        jnp.asarray(0.02 * rng.standard_normal((B, H, F, 4 * F)), jnp.float32),
+        jnp.zeros((B, H, 1, 4 * F), jnp.float32),
+        jnp.asarray(0.02 * rng.standard_normal((B, H, 4 * F, F)), jnp.float32),
+        jnp.zeros((B, H, 1, F), jnp.float32),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mlp_kernel_under_mesh_matches_oracle(rng, monkeypatch):
+    monkeypatch.setattr(ttt_mlp_kernel, "_FORCE_INTERPRET", True)
+    args = _inputs(rng)
+    oracle = ttt_scan.ttt_mlp(*args, checkpoint_group_size=2)
+
+    mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
+    with use_mesh(mesh):
+        out = jax.jit(lambda *a: ttt_mlp_kernel.ttt_mlp(*a, checkpoint_group_size=2))(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mlp_kernel_grads_under_mesh(rng, monkeypatch):
+    monkeypatch.setattr(ttt_mlp_kernel, "_FORCE_INTERPRET", True)
+    args = _inputs(rng)
+    mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
+
+    loss_o = lambda *a: jnp.sum(ttt_scan.ttt_mlp(*a, checkpoint_group_size=2) ** 2)
+    go = jax.grad(loss_o, argnums=(0, 4, 6))(*args)
+
+    with use_mesh(mesh):
+        loss_k = lambda *a: jnp.sum(ttt_mlp_kernel.ttt_mlp(*a, checkpoint_group_size=2) ** 2)
+        gk = jax.jit(jax.grad(loss_k, argnums=(0, 4, 6)))(*args)
+
+    for a, b in zip(gk, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)

@@ -295,20 +295,206 @@ def _mlp_bwd_kernel(K: int, NG: int,
     dlnb_ref[0] = dlnb_acc[:]
 
 
-def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, mlp: bool) -> int:
-    """Head group sized so the per-step state stash fits comfortably in VMEM."""
+# ---------------------------------------------------------------- linear bwd
+
+
+def _linear_bwd_kernel(K: int, NG: int,
+                       xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+                       w1ck_ref, b1ck_ref, dout_ref,
+                       dxq_ref, dxk_ref, dxv_ref, deta_ref,
+                       dw1_ref, db1_ref, dlnw_ref, dlnb_ref,
+                       w1_stash, b1_stash,
+                       dw1_c, db1_c, dlnw_acc, dlnb_acc):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dw1_c[:] = jnp.zeros_like(dw1_c)
+        db1_c[:] = jnp.zeros_like(db1_c)
+        dlnw_acc[:] = jnp.zeros_like(dlnw_acc)
+        dlnb_acc[:] = jnp.zeros_like(dlnb_acc)
+
+    lnw = lnw_ref[:].astype(jnp.float32)
+    lnb = lnb_ref[:].astype(jnp.float32)
+    G_heads, CS, F = lnw.shape
+    dt = xq_ref.dtype
+    ones_cs = jnp.ones((G_heads, CS, CS), dt)
+
+    def fwd_body(i, state):
+        W1, b1 = state
+        w1_stash[i] = W1
+        b1_stash[i] = b1[:, 0:8] * 0.125
+
+        XQ = xq_ref[0, :, i]
+        XK = xk_ref[0, :, i]
+        XV = xv_ref[0, :, i]
+        eta = eta_ref[0, :, i].astype(jnp.float32)
+
+        Z1 = _bmm(XK, W1.astype(dt)) + b1
+        target = (XV - XK).astype(jnp.float32)
+        z1_hat, std1 = _ln_stats(Z1)
+        grad = _ln_fused_l2(z1_hat, std1, target, lnw, lnb)
+        Gs = (eta * grad).astype(dt)
+        b1n = b1 - _rowsum_rep(Gs, ones_cs)
+        W1n = W1 - _bmm(XK, Gs, transpose_a=True)
+        return (W1n, b1n)
+
+    jax.lax.fori_loop(0, K, fwd_body, (w1ck_ref[0, :, 0], b1ck_ref[0, :, 0]))
+
+    def bwd_body(jj, _):
+        j = K - 1 - jj
+        W1 = w1_stash[j]
+        b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
+
+        XQ = xq_ref[0, :, j]
+        XK = xk_ref[0, :, j]
+        XV = xv_ref[0, :, j]
+        eta = eta_ref[0, :, j].astype(jnp.float32)
+        d_out = dout_ref[0, :, j].astype(jnp.float32)
+
+        Z1 = _bmm(XK, W1.astype(dt)) + b1
+        target = (XV - XK).astype(jnp.float32)
+        z1_hat, std1 = _ln_stats(Z1)
+        g1 = _ln_fused_l2(z1_hat, std1, target, lnw, lnb)
+        Gs = (eta * g1).astype(dt)
+        A1 = _bmm(XQ, XK, transpose_b=True)
+        Zb1 = _bmm(XQ, W1.astype(dt)) - _bmm(A1.astype(dt), Gs) + b1 - _rowsum_rep(Gs, ones_cs)
+        zb1_hat, stdb1 = _ln_stats(Zb1)
+
+        # out = XQ + LN(Zb1)
+        dZb1, dgw, dgb = _ln_fwd_vjp_rows(zb1_hat, stdb1, lnw, d_out)
+        dlnw_acc[:] = dlnw_acc[:] + dgw
+        dlnb_acc[:] = dlnb_acc[:] + dgb
+        dXQ = d_out
+        dZb1c = dZb1.astype(dt)
+
+        # Zb1 = XQ@W1 - A1@Gs + b1'
+        dXQ = dXQ + _bmm(dZb1c, W1.astype(dt), transpose_b=True)
+        dW1 = _bmm(XQ, dZb1c, transpose_a=True)
+        dA1 = -_bmm(dZb1c, Gs, transpose_b=True)
+        dG = -_bmm(A1.astype(dt), dZb1c, transpose_a=True)
+        db1_tot = db1_c[:] + _rowsum_rep(dZb1, ones_cs)
+        dG = dG - db1_tot
+
+        # W1' = W1 - XK^T Gs
+        dW1 = dW1 + dw1_c[:]
+        dXK = -_bmm(Gs, dw1_c[:].astype(dt), transpose_b=True)
+        dG = dG - _bmm(XK, dw1_c[:].astype(dt))
+
+        # A1 = XQ @ XK^T
+        dXQ = dXQ + _bmm(dA1.astype(dt), XK)
+        dXK = dXK + _bmm(dA1.astype(dt), XQ, transpose_a=True)
+
+        # Gs = eta * g1
+        de = jnp.sum(dG * g1, axis=-1, keepdims=True)
+        dg1 = eta * dG
+
+        # g1 = L(Z1, target)
+        dZ1, dtarget, dgw2, dgb2 = _ln_fused_l2_vjp_rows(z1_hat, std1, target, lnw, lnb, dg1)
+        dlnw_acc[:] = dlnw_acc[:] + dgw2
+        dlnb_acc[:] = dlnb_acc[:] + dgb2
+
+        dXV = dtarget
+        dXK = dXK - dtarget
+
+        # Z1 = XK@W1 + b1
+        dZ1c = dZ1.astype(dt)
+        dXK = dXK + _bmm(dZ1c, W1.astype(dt), transpose_b=True)
+        dW1 = dW1 + _bmm(XK, dZ1c, transpose_a=True)
+        db1_new = db1_tot + _rowsum_rep(dZ1, ones_cs)
+
+        dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
+        dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
+        dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
+        deta_ref[0, :, j] = de.astype(deta_ref.dtype)
+        dw1_c[:] = dW1
+        db1_c[:] = db1_new
+        return 0
+
+    jax.lax.fori_loop(0, K, bwd_body, 0)
+
+    dw1_ref[0] = dw1_c[:]
+    db1_ref[0] = db1_c[:]
+    dlnw_ref[0] = dlnw_acc[:]
+    dlnb_ref[0] = dlnb_acc[:]
+
+
+def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
+                        checkpoint_group_size: int, interpret: bool = False,
+                        head_group: int | None = None):
+    """Fused TTT-linear backward; see ttt_mlp_backward for conventions."""
+    B, H, NC, CS, F = XQ.shape
+    K = min(max(checkpoint_group_size, 1), NC)
+    assert NC % K == 0, "pad NC to a multiple of the checkpoint group first"
+    NG = NC // K
+    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=False)
+    HG = H // G
+
+    rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
+    x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
+    eta_spec = pl.BlockSpec((1, G, K, CS, 1), rev_x, memory_space=pltpu.VMEM)
+    ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
+    ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
+    state_map = lambda i, n: (i // HG, i % HG, 0, 0)
+    out_state = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
+    out_ln = pl.BlockSpec((1, G, CS, F), state_map, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_linear_bwd_kernel, K, NG),
+        grid=(B * HG, NG),
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+                  ck_spec(F, F), ck_spec(CS, F), x_spec(F)],
+        out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
+                   out_state(F, F), out_state(CS, F), out_ln, out_ln),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NC, CS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, F, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, G, F, F), jnp.float32),
+            pltpu.VMEM((K, G, 8, F), jnp.float32),
+            pltpu.VMEM((G, F, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+            pltpu.VMEM((G, CS, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        XQ, XK, XV, eta[..., None],
+        jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
+        jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
+        w1_ck, b1_ck, g,
+    )
+
+
+def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: bool) -> int:
+    """Head group sized so the state stash + pipelined IO blocks fit in VMEM.
+
+    Unlike the forward kernel, no block here has the head group in its
+    trailing two dims, so G only needs to divide num_heads. The IO estimate
+    uses a 3x multiplier for Mosaic's pipeline buffering (empirical: G=16 at
+    the ttt-linear geometry blows the 16 MB scoped limit; G=2 at the ttt-mlp
+    geometry fits)."""
+    # Empirically calibrated on v5e (16 MB VMEM): ttt-mlp geometry fits G=2,
+    # ttt-linear geometry fits G=8 but OOMs at G=16.
     if mlp:
-        per_head_step = 2 * head_dim * 4 * head_dim * 4 + 2 * 8 * 4 * head_dim * 4
+        stash = K * (2 * head_dim * 4 * head_dim + 2 * 8 * 4 * head_dim) * 4
+        io = 26 * CS * head_dim * K
+        budget = 10 * 1024 * 1024
     else:
-        per_head_step = head_dim * head_dim * 4 + 8 * head_dim * 4
-    budget = 5 * 1024 * 1024
-    g = max(1, min(num_heads, budget // max(per_head_step * K, 1)))
-    while g > 1 and not (num_heads % g == 0 and (g == num_heads or g % 8 == 0)):
+        stash = K * (head_dim * head_dim + 8 * head_dim) * 4
+        io = 3 * 26 * CS * head_dim * K
+        budget = 4 * 1024 * 1024
+    g = max(1, min(num_heads, budget // max(stash + io, 1)))
+    while g > 1 and num_heads % g != 0:
         g -= 1
-    if num_heads % g != 0 or (g != num_heads and g % 8 != 0):
-        g = 1 if num_heads % 8 != 0 else g
-    if num_heads % g != 0:
-        g = num_heads
     return g
 
 
@@ -328,7 +514,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     K = min(max(checkpoint_group_size, 1), NC)
     assert NC % K == 0, "pad NC to a multiple of the checkpoint group first"
     NG = NC // K
-    G = head_group or pick_bwd_head_group(H, F, K, mlp=True)
+    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=True)
     HG = H // G
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
@@ -350,9 +536,9 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                    out_state(F, F4), out_state(CS, F4), out_state(F4, F), out_state(CS, F),
                    out_ln, out_ln),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NC, CS, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F4), jnp.float32),
@@ -373,6 +559,9 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
             pltpu.VMEM((G, CS, F), jnp.float32),
             pltpu.VMEM((G, CS, F), jnp.float32),
         ],
+        # The 16 MB scoped-vmem default is conservative; the stash + grouped
+        # IO for this kernel legitimately needs more (v5e has 128 MB VMEM).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         XQ, XK, XV, eta[..., None],

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 
 from ttt_video_dit_tpu.ops.pallas import ttt_vjp
+from ttt_video_dit_tpu.ops.pallas.sharded import shard_mapped_ttt
 
 _FORCE_INTERPRET = False  # tests flip this to exercise kernels on CPU
 
@@ -25,4 +26,10 @@ def is_supported(shape) -> bool:
 def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16):
     NC = XQ.shape[2]
     K = min(max(checkpoint_group_size, 1), NC)
-    return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, XQ, XK, XV, eta, ln_w, ln_b, W1, b1)
+
+    def kernel_fn(xq, xk, xv, e, lw, lb, w1, b1_):
+        return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, xq, xk, xv, e, lw, lb, w1, b1_)
+
+    # Under a multi-chip mesh the kernel runs per (batch, head) shard via
+    # shard_map — GSPMD cannot partition pallas_call itself.
+    return shard_mapped_ttt(kernel_fn, n_states=2)(XQ, XK, XV, eta, ln_w, ln_b, W1, b1)

@@ -106,6 +106,22 @@ def _linear_bwd(K, interpret, res, g):
     XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck = res
     B, H, NC, CS, F = XQ.shape
     pad = (-NC) % K
+
+    if USE_FUSED_BWD:
+        from ttt_video_dit_tpu.ops.pallas import ttt_backward
+
+        dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
+            _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+            ln_w, ln_b, w_ck, b_ck, _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
+        )
+        sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+        return (
+            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de[..., 0], eta),
+            jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
+            jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
+            dW1, db1[:, :, 0:1, :],
+        )
+
     NG = (NC + pad) // K
 
     gp = lambda x: _group_axes(_pad_nc(x, pad), NG, K)
@@ -166,7 +182,7 @@ def _mlp_bwd(K, interpret, res, g):
         outs = ttt_backward.ttt_mlp_backward(
             _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
             ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
-            _pad_nc(g.astype(jnp.float32), pad), K, interpret=interpret,
+            _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
         )
         dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
         sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
