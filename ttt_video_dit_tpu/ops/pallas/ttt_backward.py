@@ -45,10 +45,6 @@ def _ln_stats(x, eps=1e-8):
     return (x - mu) / std, std
 
 
-def _ln_fwd_from(x_hat, lnw, lnb):
-    return lnw * x_hat + lnb
-
-
 def _ln_fused_l2(x_hat, std, target, lnw, lnb):
     """Forward inner-loop gradient from precomputed stats."""
     y = lnw * x_hat + lnb
