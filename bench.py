@@ -30,9 +30,13 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--use-kernel", action="store_true", default=True)
     parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
-    parser.add_argument("--remat", default="block", choices=["block", "none", "full"],
-                        help="activation-checkpointing preset for the bench model")
+    parser.add_argument("--remat", default="none", choices=["block", "none", "full"],
+                        help="activation-checkpointing preset for the bench model; 'none' "
+                        "is fastest and fits HBM at the default geometry (remat trades "
+                        "recompute for memory and is for flagship-width runs)")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the timed steps into this dir")
     args = parser.parse_args()
 
     import jax
@@ -101,11 +105,15 @@ def main():
     # reliable execution fence.
     float(metrics["loss"])
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch, rng)
     loss_val = float(metrics["loss"])  # fences the whole chained sequence
     dt = (time.perf_counter() - t0) / args.steps
+    if args.profile_dir:
+        jax.profiler.stop_trace()
 
     flops = train_step_flops(cfg, B, TL)
     peak = device_peak_flops()

@@ -9,7 +9,7 @@ partitioned over processes.
 
 Usage:
     python data/precompute_video.py --episode-dir /data/mp4s --save-dir /data/latents \
-        --vae-checkpoint /ckpts/vae.pt --num-frames 192 --fps 16
+        --vae-checkpoint /ckpts/vae.pt --video-length 12 --fps 16
 """
 
 from __future__ import annotations
@@ -51,11 +51,30 @@ def main() -> None:
     parser.add_argument("--episode-dir", required=True)
     parser.add_argument("--save-dir", required=True)
     parser.add_argument("--vae-checkpoint", required=True)
-    parser.add_argument("--num-frames", type=int, default=192, help="pixel frames per episode (multiple of 48... +0)")
+    parser.add_argument(
+        "--video-length", type=int, default=12,
+        help="episode length in seconds; episodes must have fps*length+1 frames "
+        "(reference: data/precomp_video.py:210)",
+    )
+    parser.add_argument(
+        "--num-frames", type=int, default=None,
+        help="explicit pixel frame count; must be a multiple of 48 plus 1 "
+        "(overrides --video-length)",
+    )
     parser.add_argument("--fps", type=int, default=16)
     parser.add_argument("--process-index", type=int, default=int(os.environ.get("TTT_PROC_ID", "0")))
     parser.add_argument("--process-count", type=int, default=int(os.environ.get("TTT_NUM_PROCS", "1")))
     args = parser.parse_args()
+
+    if args.num_frames is None:
+        args.num_frames = args.fps * args.video_length + 1
+    # The tiled causal encoder consumes windows of (48+1, 48, 48, ...) frames;
+    # only T = 48n + 1 tiles exactly (VAE temporal stride 4 -> T/4+1 latents).
+    if args.num_frames % 48 != 1:
+        parser.error(
+            f"--num-frames {args.num_frames} is not 48n+1; episodes must have "
+            f"fps*seconds+1 frames (e.g. 193 for 12 s at 16 fps)"
+        )
 
     from ttt_video_dit_tpu.models.vae.autoencoder import VideoAutoencoder
     from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
@@ -66,7 +85,7 @@ def main() -> None:
     os.makedirs(args.save_dir, exist_ok=True)
     episodes = sorted(v for v in os.listdir(args.episode_dir) if v.endswith(".mp4"))
     episodes = episodes[args.process_index :: args.process_count]
-    latent_frames = args.num_frames // 4 + 1
+    latent_frames = (args.num_frames - 1) // 4 + 1
 
     for i, episode in enumerate(episodes):
         save_path = osp.join(args.save_dir, episode.replace(".mp4", ".npy"))

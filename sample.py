@@ -145,4 +145,8 @@ if __name__ == "__main__":
 
     config = JobConfig(eval_mode=True)
     config.parse_args()
+    if config.job.platform:
+        import jax
+
+        jax.config.update("jax_platforms", config.job.platform)
     main(config)

@@ -30,6 +30,17 @@ def load_reference():
             else:
                 m.run = None
             sys.modules[name] = m
+    # GPU-only kernel wrapper modules (Triton DSL / ThunderKittens CUDA ext):
+    # stub the reference's *wrapper modules* rather than `triton` itself — a
+    # fake `triton` in sys.modules breaks torch._inductor's triton probing.
+    # The kernels are never called on CPU (use_kernel=False in tests).
+    for name, attr in (("ttt.models.ssm.linear_triton", "TritonLinear"),
+                       ("ttt.models.ssm.mlp_tk", "TkMLP")):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            setattr(m, attr, type(attr, (), {"apply": staticmethod(lambda *a, **k: None), "sharded_mode": False}))
+            sys.modules[name] = m
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     import ttt.models.cogvideo.utils as ref_cog_utils

@@ -168,3 +168,21 @@ def test_encode_decode_round_trip_shapes(rng):
     frames = vae.decode_first_stage(post_mean, window=2)
     assert frames.shape[1] == 3
     assert np.isfinite(frames).all()
+
+
+def test_encode_rejects_untileable_frame_count(rng):
+    """T must be n*window + 1 (reference targets FPS*seconds+1 frames,
+    reference: data/precomp_video.py:210); anything else would drop frames."""
+    import jax
+
+    cfg = tiny_vae_config()
+    vae = VideoAutoencoder(cfg, cfg).init_random(jax.random.PRNGKey(0), spatial=32, latent_spatial=16)
+
+    x_bad = rng.standard_normal((1, 3, 8, 32, 32)).astype(np.float32)  # 8 % 4 == 0
+    with pytest.raises(AssertionError, match="n\\*4 \\+ 1"):
+        vae.encode_first_stage(x_bad, window=4)
+
+    # 13 = 3*4 + 1 tiles exactly into windows of (5, 4, 4) frames.
+    x_ok = rng.standard_normal((1, 3, 13, 32, 32)).astype(np.float32)
+    z = vae.encode_first_stage(x_ok, window=4)
+    assert z.shape[2] == (13 - 1) // 2 + 1  # tiny config: temporal /2

@@ -39,7 +39,12 @@ def main(job_config) -> None:
     from ttt_video_dit_tpu.training import optimizer as opt_mod
     from ttt_video_dit_tpu.training.checkpoint import Checkpointer
     from ttt_video_dit_tpu.training.iterator import TrainingIterator
-    from ttt_video_dit_tpu.training.setup import batch_shardings, create_train_state, init_params
+    from ttt_video_dit_tpu.training.setup import (
+        batch_shardings,
+        create_train_state,
+        init_params,
+        make_global_batch,
+    )
     from ttt_video_dit_tpu.training.train_step import make_train_step
     from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
     from ttt_video_dit_tpu.utils.logging import MultiLogger
@@ -69,6 +74,12 @@ def main(job_config) -> None:
     global_bs = job_config.training.global_batch_size
     buckets = StratifiedSigmaBuckets.create(model_config.sigma_interval, dp_size)
     sigma_lo, sigma_hi = buckets.sample_bounds(global_bs, dp_size)
+    # Per-process contiguous slice of the (identically computed) global bounds.
+    pi, pc = jax.process_index(), jax.process_count()
+    assert global_bs % pc == 0, f"global batch {global_bs} not divisible by {pc} processes"
+    local_bs = global_bs // pc
+    sigma_lo_local = sigma_lo[pi * local_bs : (pi + 1) * local_bs]
+    sigma_hi_local = sigma_hi[pi * local_bs : (pi + 1) * local_bs]
 
     # Data
     if job_config.training.jsonl_paths:
@@ -98,6 +109,7 @@ def main(job_config) -> None:
             vid_shape=(T, model_config.in_channels, h, w),
             text_shape=(C, tl, model_config.text_dim),
             seed=job_config.job.seed,
+            process_count=jax.process_count(),
         )
         text_length = tl
         logger.write(f"synthetic data: text_length={tl}, seq={C * tl + vid_tokens}")
@@ -146,6 +158,8 @@ def main(job_config) -> None:
 
         def on_checkpoint(step: int, timeout: bool) -> None:
             checkpointer.save(step, state, data_module.sampler.state_dict(), {"wandb_id": logger.wandb_run_id})
+            # Stats-history snapshot per checkpoint (reference: logging.py:126-147).
+            logger.snapshot_stats(os.path.join(ckpt_dir, str(step)))
             logger.write(f"checkpoint saved at step {step}{' (timeout-aware)' if timeout else ''}")
 
         train_iter = TrainingIterator(
@@ -174,12 +188,9 @@ def main(job_config) -> None:
                     logger.write(f"profiler trace written to {job_config.job.profile_dir}")
 
             with TimedContext() as data_timer:
-                host_batch = next(batches)
-                host_batch["sigma_lo"], host_batch["sigma_hi"] = sigma_lo, sigma_hi
-                batch = {
-                    k: jax.device_put(np.asarray(v), b_shardings.get(k, b_shardings["vid"]))
-                    for k, v in host_batch.items()
-                }
+                host_batch = next(batches)  # per-process shard (global_bs / process_count)
+                host_batch["sigma_lo"], host_batch["sigma_hi"] = sigma_lo_local, sigma_hi_local
+                batch = make_global_batch(host_batch, b_shardings, process_count=pc)
             data_time = data_timer.duration
 
             state, metrics = step_fn(state, batch, rng)
@@ -208,6 +219,7 @@ def main(job_config) -> None:
                 )
 
         checkpointer.wait()
+        logger.alert("Training complete", f"{job_config.job.exp_name} finished {job_config.training.steps} steps")
         logger.write("training complete")
 
 
@@ -216,5 +228,7 @@ if __name__ == "__main__":
 
     config = JobConfig()
     config.parse_args()
+    if config.job.platform:
+        jax.config.update("jax_platforms", config.job.platform)
     init_distributed()
     main(config)

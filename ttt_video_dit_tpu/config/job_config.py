@@ -38,6 +38,10 @@ class JobSection:
     profile_dir: Optional[str] = field(
         default=None, metadata={"help": "Capture a jax.profiler trace of steps 10-13 into this directory"}
     )
+    platform: Optional[str] = field(
+        default=None,
+        metadata={"help": "Force a JAX platform (e.g. 'cpu' for local smokes; env overrides may be ignored)"},
+    )
 
 
 @dataclass
@@ -55,6 +59,16 @@ class ModelSection:
     )
     ttt_base_lr: float = field(default=0.1, metadata={"help": "Base inner-loop learning rate for TTT"})
     mini_batch_size: int = field(default=64, metadata={"help": "TTT inner-loop mini-batch size"})
+    use_fused_backward: bool = field(
+        default=True,
+        metadata={"help": "Fused Pallas TTT backward kernels (vs XLA checkpoint-group recompute)"},
+    )
+    latent_height: Optional[int] = field(
+        default=None, metadata={"help": "Override latent token-grid height (debug/smoke geometries)"}
+    )
+    latent_width: Optional[int] = field(
+        default=None, metadata={"help": "Override latent token-grid width (debug/smoke geometries)"}
+    )
 
 
 @dataclass

@@ -48,6 +48,9 @@ class ModelConfig:
     # fwd 10.4 vs 14.4 ms; fwd+bwd 32.9 vs 42.1 ms); the oracle remains the
     # numerical reference (parity-tested values and gradients).
     use_kernel: bool = True
+    # Fused Pallas backward (ttt_backward.py) vs the hybrid XLA
+    # checkpoint-group backward (ttt_vjp.py fallback); both parity-tested.
+    use_fused_backward: bool = True
 
     adapter_method: str = "none"  # none | sft | qkvo
 
@@ -129,6 +132,11 @@ class ModelConfig:
         self.ssm_layer = job_config.model.ssm_layer
         self.mini_batch_size = job_config.model.mini_batch_size
         self.ttt_base_lr = job_config.model.ttt_base_lr
+        self.use_fused_backward = job_config.model.use_fused_backward
+        if job_config.model.latent_height is not None:
+            self.latent_height = job_config.model.latent_height
+        if job_config.model.latent_width is not None:
+            self.latent_width = job_config.model.latent_width
         # TOML configs may express this as 1e6 (float) to disable checkpoints.
         self.scan_checkpoint_group_size = int(job_config.remat.scan_checkpoint_group_size)
         self.dtype = job_config.parallelism.fsdp_unsharded_dtype

@@ -101,7 +101,6 @@ class FaultTolerantSampler:
         self._seed = seed
         self._epoch_seed = seed
         self.counter = 0
-        self._restarting = False
 
     def state_dict(self) -> dict:
         return {"epoch_seed": int(self._epoch_seed), "counter": int(self.counter)}
@@ -109,19 +108,30 @@ class FaultTolerantSampler:
     def load_state_dict(self, state: dict) -> None:
         self._epoch_seed = int(state["epoch_seed"])
         self.counter = int(state.get("counter", 0))
-        self._restarting = True
+
+    def commit(self, epoch_seed: int, counter: int) -> None:
+        """Record consumed position (called by the consumer at yield time, so
+        checkpointed state never runs ahead of training)."""
+        self._epoch_seed = int(epoch_seed)
+        self.counter = int(counter)
+
+    @staticmethod
+    def epoch_permutation(epoch_seed: int, num_samples: int) -> np.ndarray:
+        """Pure permutation for one epoch — shared (same seed) across all
+        processes, like the reference's seed-0 permutation
+        (reference: ttt/datasets/data_sampler.py:7-48)."""
+        return np.random.default_rng(epoch_seed).permutation(num_samples)
 
     def __iter__(self) -> Iterator[int]:
-        rng = np.random.default_rng(self._epoch_seed)
-        indices = rng.permutation(self.num_samples)
-        if self._restarting:
-            indices = indices[self.counter :]
-            self._restarting = False
-        else:
-            self.counter = 0
-        yield from indices.tolist()
-        # Next epoch draws a fresh (but deterministic) permutation.
-        self._epoch_seed += 1
+        """Resume-aware infinite index stream (single-threaded convenience;
+        DataModule's prefetch worker drives epoch_permutation directly and
+        commits positions at consumption time instead)."""
+        epoch_seed, counter = self._epoch_seed, self.counter
+        while True:
+            indices = self.epoch_permutation(epoch_seed, self.num_samples)[counter:]
+            yield from indices.tolist()
+            epoch_seed += 1
+            counter = 0
 
 
 class DataModule:
@@ -154,25 +164,37 @@ class DataModule:
         stop = threading.Event()
 
         def worker():
-            it = iter(self.sampler)
+            # Worker-local epoch bookkeeping: the shared sampler object is
+            # only *read* here (its committed state is written by the
+            # consumer), so prefetching never races checkpointed state.
+            epoch_seed, counter = self.sampler._epoch_seed, self.sampler.counter
+            remaining = FaultTolerantSampler.epoch_permutation(epoch_seed, len(self.dataset))[counter:].tolist()
             while not stop.is_set():
-                idxs = []
-                while len(idxs) < global_batch_size:
-                    try:
-                        idxs.append(next(it))
-                    except StopIteration:
-                        it = iter(self.sampler)  # dataloader reset (reference: train.py:28-33)
+                if len(remaining) < global_batch_size:
+                    # Dataloader reset (reference: train.py:28-33): the partial
+                    # tail is dropped and a fresh epoch permutation begins, so
+                    # every batch maps to exactly one (epoch_seed, counter).
+                    epoch_seed += 1
+                    counter = 0
+                    remaining = FaultTolerantSampler.epoch_permutation(epoch_seed, len(self.dataset)).tolist()
+                idxs, remaining = remaining[:global_batch_size], remaining[global_batch_size:]
+                counter += global_batch_size
                 shard = idxs[self.process_index * local : (self.process_index + 1) * local]
                 samples = [self.dataset[i] for i in shard]
                 batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-                self.sampler.counter += global_batch_size  # for exact resume (reference: train.py:43)
-                q.put(batch)
+                # Position is committed by the *consumer* at yield time — if it
+                # advanced at production time, prefetched-but-unconsumed batches
+                # would be skipped after a checkpoint resume (reference commits
+                # per consumed batch, reference: train.py:43).
+                q.put((batch, (epoch_seed, counter)))
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
         try:
             while True:
-                yield q.get()
+                batch, (epoch_seed, counter) = q.get()
+                self.sampler.commit(epoch_seed, counter)
+                yield batch
         finally:
             stop.set()
 
@@ -181,16 +203,20 @@ class SyntheticDataModule:
     """Drop-in synthetic-data module for smoke tests/benchmarks — generates
     random latents/text embeddings with the right geometry."""
 
-    def __init__(self, vid_shape, text_shape, seed: int = 0):
+    def __init__(self, vid_shape, text_shape, seed: int = 0, process_count: int = 1):
         self.vid_shape = vid_shape
         self.text_shape = text_shape
         self.sampler = FaultTolerantSampler(1 << 30, seed=seed)
         self._rng = np.random.default_rng(seed)
+        self.process_count = process_count
 
     def batches(self, global_batch_size: int, prefetch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields this process's shard (global/process_count), like DataModule."""
+        assert global_batch_size % self.process_count == 0
+        local = global_batch_size // self.process_count
         while True:
             self.sampler.counter += global_batch_size
             yield {
-                "vid": self._rng.standard_normal((global_batch_size, *self.vid_shape)).astype(np.float32),
-                "text": self._rng.standard_normal((global_batch_size, *self.text_shape)).astype(np.float32),
+                "vid": self._rng.standard_normal((local, *self.vid_shape)).astype(np.float32),
+                "text": self._rng.standard_normal((local, *self.text_shape)).astype(np.float32),
             }

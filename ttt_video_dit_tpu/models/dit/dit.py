@@ -152,9 +152,7 @@ class SegmentLocalAttention(nn.Module):
         # Rope over *local* window positions (every window uses positions
         # 0..WF*TPF, matching reference Rotary3DPositionEmbedding.forward).
         cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.theta)
-        rope = lambda t: jnp.concatenate(
-            [t[:, :TL], jnp.moveaxis(apply_rope(jnp.moveaxis(t[:, TL:], 2, 1), cos, sin), 1, 2)], axis=1
-        )
+        rope = lambda t: jnp.concatenate([t[:, :TL], apply_rope(t[:, TL:], cos, sin, seq_axis=1)], axis=1)
         q, k = rope(q), rope(k)
 
         q = maybe_shard(q, DATA, None, TENSOR, None)

@@ -114,7 +114,10 @@ class DPMPP2MSampler:
 
     @staticmethod
     def _lamb(a_sqrt):
-        a = a_sqrt**2
+        # Clip below 1: the Zero-SNR endpoint (a_sqrt == 1) would divide by
+        # zero; its multipliers are never used (the idx==1 branch returns the
+        # denoised sample directly) but the inf still raised warnings.
+        a = np.minimum(a_sqrt**2, 1.0 - 1e-12)
         return np.log(np.sqrt(a / (1.0 - a)))
 
     def _mults(self, a, a_next, a_prev):

@@ -113,9 +113,7 @@ class TTTLayer(nn.Module):
 
         # 3D rope on video tokens only (global positions over the full video).
         cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.rope_theta)
-        rope = lambda x: jnp.concatenate(
-            [x[:, :stl], jnp.moveaxis(apply_rope(jnp.moveaxis(x[:, stl:], 2, 1), cos, sin), 1, 2)], axis=1
-        )
+        rope = lambda x: jnp.concatenate([x[:, :stl], apply_rope(x[:, stl:], cos, sin, seq_axis=1)], axis=1)
         XQ, XK = rope(XQ), rope(XK)
 
         XV = self._ln_reconstruction_target(XV, XK)
@@ -160,6 +158,7 @@ class TTTLayer(nn.Module):
                 return ttt_linear_kernel.ttt_linear(
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), group,
+                    use_fused_bwd=self.config.use_fused_backward,
                 )
         return ttt_scan.ttt_linear(
             XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias, tile(self.W1), tile(self.b1), group
@@ -173,6 +172,7 @@ class TTTLayer(nn.Module):
                 return ttt_mlp_kernel.ttt_mlp(
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
+                    use_fused_bwd=self.config.use_fused_backward,
                 )
         return ttt_scan.ttt_mlp(
             XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,

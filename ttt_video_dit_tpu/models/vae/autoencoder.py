@@ -80,7 +80,16 @@ class VideoAutoencoder:
         assert unregularized, "store posteriors; sample at load time (reference precompute behavior)"
         x = _to_channels_last(jnp.asarray(x, jnp.float32))
         T = x.shape[1]
-        n_windows = max((T - 1) // window, 1) if T > 1 else 1
+        # Reference semantics (reference: ttt/models/vae/autoencoder.py:200-214,
+        # data/precomp_video.py:210): valid inputs have T = n*window + 1 frames
+        # (FPS*seconds + 1) and tile into T // window windows — first window
+        # window+1 frames, the rest window. Any other T would silently drop or
+        # double-read frames, so reject it up front.
+        assert T == 1 or T % window == 1, (
+            f"encode expects T = n*{window} + 1 frames (got {T}); "
+            f"precompute targets FPS*seconds+1 frames per episode"
+        )
+        n_windows = T // window if T > 1 else 1
 
         cache = {}
         outs = []

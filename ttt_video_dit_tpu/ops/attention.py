@@ -47,15 +47,50 @@ def _chunked(q, k, v, block_q: int = _BLOCK_Q):
     return out[:, :S]
 
 
+from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as _mask_lib
+
+
+class _KVPadMask(_mask_lib.Mask):
+    """Lazy mask that hides the last ``S - valid`` *KV columns* (sequence
+    padding). Rows are NOT masked: padded q rows attend to the real tokens,
+    producing finite garbage that the caller slices away — fully-masked rows
+    would yield l=0 and NaNs that poison dKV in the backward. Only the edge
+    block-column is partial, so interior blocks keep the maskless fast path.
+    """
+
+    def __init__(self, S: int, valid: int):
+        self._shape = (S, S)
+        self.valid = valid
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def __getitem__(self, idx):
+        import numpy as np
+
+        i, j = idx
+        cols = np.arange(self._shape[1])[j]
+        block = np.broadcast_to(cols[None, :] < self.valid, (len(np.arange(self._shape[0])[i]), len(cols)))
+        return np.ascontiguousarray(block)
+
+    def __eq__(self, other):
+        return isinstance(other, _KVPadMask) and (self._shape, self.valid) == (other._shape, other.valid)
+
+    def __hash__(self):
+        return hash((type(self), self._shape, self.valid))
+
+
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, block: int):
+def _splash_spec(S: int, H: int, block: int, valid: int):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
 
-    mask = mask_lib.MultiHeadMask([mask_lib.FullMask(_shape=(S, S)) for _ in range(H)])
+    base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
+    mask = mask_lib.MultiHeadMask([base for _ in range(H)])
     bs = splash.BlockSizes(
         block_q=block, block_kv=block, block_kv_compute=block,
         block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=block,
@@ -64,38 +99,67 @@ def _splash_spec(S: int, H: int, block: int):
     return mask, bs
 
 
-def _splash_kernel(S: int, H: int, block: int):
+def _splash_kernel(S: int, H: int, block: int, valid: int):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, block)
+    mask, bs = _splash_spec(S, H, block, valid)
     return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
 
 
+# Production block size, tuned on v5e at S=18048/18432 (scripts/microbench.py):
+# fwd+bwd 64.2 ms at block 1024 vs 99.6 ms at 384; 1536 exceeds splash's
+# 16 MB scoped-vmem stack for the fused backward.
+_SPLASH_BLOCK = 1024
+
+
 def _splash_block(S: int):
-    for block in (512, 384, 256, 128):
+    for block in (_SPLASH_BLOCK, 512, 384, 256, 128):
         if S % block == 0:
             return block
     return None
 
 
-def _splash(q, k, v):
+def _splash(q, k, v, block: int | None = None):
     """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16).
 
     Measured v5e, S=18048, 16 heads: fwd 46 ms / fwd+bwd 109 ms vs the
-    chunked path's 105 ms fwd — the production path for long windows."""
+    chunked path's 105 ms fwd (block 384)."""
     B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, _splash_block(S))
+    kernel = _splash_kernel(S, H, block or _splash_block(S), S)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def _splash_padded(q, k, v, block: int):
+    """Splash attention at an arbitrary S: pad the sequence up to a multiple
+    of ``block`` and mask the padded KV columns (exact — real rows never see
+    pad tokens). Larger blocks amortize per-block softmax bookkeeping, which
+    dominates at head_dim 64 where the matmuls are small."""
+    B, S, H, F = q.shape
+    Sp = -(-S // block) * block
+    if Sp == S:
+        return _splash(q, k, v, block=block)
+    pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    kernel = _splash_kernel(Sp, H, block, S)
+    scale = 1.0 / (F**0.5)
+    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
+    out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :S]
+
+
 def attention(q, k, v):
-    """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F]."""
+    """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F].
+
+    Long windows on TPU take the splash (flash) kernel, padded up to a
+    multiple of the tuned block size with the pad KV columns masked — large
+    blocks amortize the per-block softmax bookkeeping that dominates at
+    head_dim 64 (1.55x over the divisor-constrained block choice on v5e)."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
-    if jax.default_backend() == "tpu" and _splash_block(S) is not None and q.dtype == jnp.bfloat16:
-        return _splash(q, k, v)
+    if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
+        return _splash_padded(q, k, v, block=_SPLASH_BLOCK)
     return _chunked(q, k, v)

@@ -7,7 +7,7 @@ ThunderKittens backward (reference: mlp_tk.py:156-275): iterate checkpoint
 groups in *reverse* grid order; per group, pass A re-runs the forward from the
 checkpointed state stashing the per-step fast-weight states in VMEM, then
 pass B walks the group backwards applying the hand-derived step VJP (validated
-against autodiff in tests/test_ln_vjp.py / test_pallas_backward.py).
+against the lax.scan oracle's autodiff in tests/test_pallas_kernels.py).
 
 All row-reductions use the ones-matmul trick and biases stay row-replicated
 (see ttt_forward.py docstring for the Mosaic sublane-broadcast pitfall).
@@ -120,11 +120,15 @@ def _mlp_bwd_kernel(K: int, NG: int,
     ones_cs = jnp.ones((G_heads, CS, CS), dt)
 
     # ---- Pass A: recompute forward through the group, stashing states.
+    # W stashes are stored in the input dtype (bf16 in production): pass B
+    # only ever consumes them via .astype(dt) inside matmuls, so a bf16 stash
+    # is bit-identical to stashing fp32 and casting — at half the VMEM, which
+    # doubles the feasible head group. Bias stashes stay fp32 (added in fp32).
     def fwd_body(i, state):
         W1, b1, W2, b2 = state  # [G,F,4F], [G,CS,4F] (rows identical), ...
-        w1_stash[i] = W1
+        w1_stash[i] = W1.astype(w1_stash.dtype)
         b1_stash[i] = b1[:, 0:8] * 0.125
-        w2_stash[i] = W2
+        w2_stash[i] = W2.astype(w2_stash.dtype)
         b2_stash[i] = b2[:, 0:8] * 0.125
 
         XQ = xq_ref[0, :, i]
@@ -318,7 +322,7 @@ def _linear_bwd_kernel(K: int, NG: int,
 
     def fwd_body(i, state):
         W1, b1 = state
-        w1_stash[i] = W1
+        w1_stash[i] = W1.astype(w1_stash.dtype)  # bf16 stash; see MLP kernel note
         b1_stash[i] = b1[:, 0:8] * 0.125
 
         XQ = xq_ref[0, :, i]
@@ -453,14 +457,14 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, G, F, F), jnp.float32),
+            pltpu.VMEM((K, G, F, F), XQ.dtype),
             pltpu.VMEM((K, G, 8, F), jnp.float32),
             pltpu.VMEM((G, F, F), jnp.float32),
             pltpu.VMEM((G, CS, F), jnp.float32),
             pltpu.VMEM((G, CS, F), jnp.float32),
             pltpu.VMEM((G, CS, F), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         XQ, XK, XV, eta[..., None],
@@ -471,24 +475,21 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
 
 
 def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: bool) -> int:
-    """Head group sized so the state stash + pipelined IO blocks fit in VMEM.
+    """Head group sized so the bf16 state stash + pipelined IO blocks fit in
+    VMEM (limit raised to 100 MB; 48 MB budget leaves pipelining headroom).
 
     Unlike the forward kernel, no block here has the head group in its
-    trailing two dims, so G only needs to divide num_heads. The IO estimate
-    uses a 3x multiplier for Mosaic's pipeline buffering (empirical: G=16 at
-    the ttt-linear geometry blows the 16 MB scoped limit; G=2 at the ttt-mlp
-    geometry fits)."""
-    # Empirically calibrated on v5e (16 MB VMEM): ttt-mlp geometry fits G=2,
-    # ttt-linear geometry fits G=8 but OOMs at G=16.
+    trailing two dims, so G only needs to divide num_heads. Measured v5e
+    (16 heads, K=16, CS=64, F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms;
+    G=16 fails to compile (VMEM), hence the hard cap at 8."""
     if mlp:
-        stash = K * (2 * head_dim * 4 * head_dim + 2 * 8 * 4 * head_dim) * 4
-        io = 26 * CS * head_dim * K
-        budget = 10 * 1024 * 1024
+        # W1/W2 stash bf16, b stashes fp32 8-row compressed.
+        stash = K * (2 * head_dim * 4 * head_dim * 2 + 8 * 4 * head_dim * 4 + 8 * head_dim * 4)
     else:
-        stash = K * (head_dim * head_dim + 8 * head_dim) * 4
-        io = 3 * 26 * CS * head_dim * K
-        budget = 4 * 1024 * 1024
-    g = max(1, min(num_heads, budget // max(stash + io, 1)))
+        stash = K * (head_dim * head_dim * 2 + 8 * head_dim * 4)
+    io = 2 * 9 * K * CS * head_dim * 2  # 5 in + 4 out blocks, double-buffered, bf16
+    budget = 48 * 1024 * 1024
+    g = max(1, min(num_heads, 8, budget // max(stash + io, 1)))
     while g > 1 and num_heads % g != 0:
         g -= 1
     return g
@@ -544,9 +545,9 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, G, F, F4), jnp.float32),
+            pltpu.VMEM((K, G, F, F4), XQ.dtype),
             pltpu.VMEM((K, G, 8, F4), jnp.float32),
-            pltpu.VMEM((K, G, F4, F), jnp.float32),
+            pltpu.VMEM((K, G, F4, F), XQ.dtype),
             pltpu.VMEM((K, G, 8, F), jnp.float32),
             pltpu.VMEM((G, F, F4), jnp.float32),
             pltpu.VMEM((G, CS, F4), jnp.float32),
@@ -557,7 +558,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
         ],
         # The 16 MB scoped-vmem default is conservative; the stash + grouped
         # IO for this kernel legitimately needs more (v5e has 128 MB VMEM).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         XQ, XK, XV, eta[..., None],

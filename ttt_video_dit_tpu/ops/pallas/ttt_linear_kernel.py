@@ -23,12 +23,14 @@ def is_supported(shape) -> bool:
     return shapes_ok and (_FORCE_INTERPRET or jax.default_backend() == "tpu")
 
 
-def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16):
+def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16,
+               use_fused_bwd: bool | None = None):
     NC = XQ.shape[2]
     K = min(max(checkpoint_group_size, 1), NC)
+    fused = ttt_vjp.USE_FUSED_BWD if use_fused_bwd is None else use_fused_bwd
 
     def kernel_fn(xq, xk, xv, e, lw, lb, w1, b1_):
-        return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, xq, xk, xv, e, lw, lb, w1, b1_)
+        return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, fused, xq, xk, xv, e, lw, lb, w1, b1_)
 
     # Under a multi-chip mesh the kernel runs per (batch, head) shard via
     # shard_map — GSPMD cannot partition pallas_call itself.

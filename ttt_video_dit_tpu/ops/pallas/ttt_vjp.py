@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from ttt_video_dit_tpu.ops import ttt_scan
 from ttt_video_dit_tpu.ops.pallas import ttt_forward
 
-# Use the fully-fused Pallas backward kernels (ttt_backward.py); falls back to
-# the XLA checkpoint-group backward below when disabled.
+# Default for the fully-fused Pallas backward kernels (ttt_backward.py); the
+# per-call ``fused`` argument (config: model.use_fused_backward) selects the
+# XLA checkpoint-group backward below when False.
 USE_FUSED_BWD = True
 
 
@@ -81,8 +82,8 @@ def _grouped_backward(step, state_cls, ckpts, ln_w, ln_b, xs_grouped, g_grouped,
 # ---------------------------------------------------------------- TTT-linear
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def ttt_linear_fused(K: int, interpret: bool, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def ttt_linear_fused(K: int, interpret: bool, fused: bool, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
     out, _, _ = _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1)
     return out
 
@@ -97,17 +98,17 @@ def _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
     return out[:, :, :NC], w_ck, b_ck
 
 
-def _linear_fwd(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
+def _linear_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
     out, w_ck, b_ck = _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1)
     return out, (XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck)
 
 
-def _linear_bwd(K, interpret, res, g):
+def _linear_bwd(K, interpret, fused, res, g):
     XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck = res
     B, H, NC, CS, F = XQ.shape
     pad = (-NC) % K
 
-    if USE_FUSED_BWD:
+    if fused:
         from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
         dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
@@ -150,8 +151,8 @@ ttt_linear_fused.defvjp(_linear_fwd, _linear_bwd)
 # ------------------------------------------------------------------ TTT-MLP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def ttt_mlp_fused(K: int, interpret: bool, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def ttt_mlp_fused(K: int, interpret: bool, fused: bool, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
     out, *_ = _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2)
     return out
 
@@ -166,17 +167,17 @@ def _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
     return out[:, :, :NC], w1_ck, b1_ck, w2_ck, b2_ck
 
 
-def _mlp_fwd(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
+def _mlp_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
     out, w1_ck, b1_ck, w2_ck, b2_ck = _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2)
     return out, (XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck)
 
 
-def _mlp_bwd(K, interpret, res, g):
+def _mlp_bwd(K, interpret, fused, res, g):
     XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck = res
     B, H, NC, CS, F = XQ.shape
     pad = (-NC) % K
 
-    if USE_FUSED_BWD:
+    if fused:
         from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
         outs = ttt_backward.ttt_mlp_backward(

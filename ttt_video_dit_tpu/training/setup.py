@@ -64,6 +64,29 @@ def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     )
 
 
+def make_global_batch(
+    host_batch: Dict[str, Any],
+    shardings: Dict[str, NamedSharding],
+    process_count: int = 1,
+) -> Dict[str, jax.Array]:
+    """Assemble globally-sharded device arrays from per-process host shards.
+
+    Each process passes its *contiguous* shard of the global batch (size
+    global_bs / process_count); ``jax.make_array_from_process_local_data``
+    stitches the shards into one global array laid out per ``shardings``.
+    Single-host (process_count=1) degenerates to a plain sharded device_put.
+    TPU equivalent of the reference's effective-rank batch partitioning
+    (reference: train.py:126, ttt/infra/parallelisms.py:46-54).
+    """
+    out = {}
+    for k, v in host_batch.items():
+        v = np.asarray(v)
+        sharding = shardings.get(k, shardings["vid"])
+        global_shape = (v.shape[0] * process_count, *v.shape[1:])
+        out[k] = jax.make_array_from_process_local_data(sharding, v, global_shape)
+    return out
+
+
 def init_params(model: CogVideoX, cfg: ModelConfig, mesh: Optional[Mesh], rng, text_length: int = 498):
     """Initialize params, sharded per the partition rules if a mesh is given."""
     shapes = example_batch_shapes(cfg, batch_size=1, text_length=text_length)

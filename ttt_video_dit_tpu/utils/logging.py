@@ -72,6 +72,25 @@ class MultiLogger:
         with open(self.stats_path, "w") as f:
             json.dump(self.stats, f)
 
+    def alert(self, title: str, text: str) -> None:
+        """Send a wandb alert (reference: ttt/infra/logging.py:44-62); logs
+        locally regardless, never fails the run."""
+        self.write(f"ALERT [{title}] {text}")
+        if self._wandb is not None:
+            try:
+                self._wandb.alert(title=title, text=text)
+            except Exception as e:  # noqa: BLE001
+                self.write(f"wandb alert failed ({e})")
+
+    def snapshot_stats(self, dst_dir: str) -> None:
+        """Copy the stats history into a checkpoint directory
+        (reference: ttt/infra/logging.py:126-147)."""
+        if not self.is_main:
+            return
+        os.makedirs(dst_dir, exist_ok=True)
+        with open(os.path.join(dst_dir, "all_stats.json"), "w") as f:
+            json.dump(self.stats, f)
+
     def init_log(self, job_config, model_config, num_params: int) -> None:
         self.write(f"experiment: {getattr(job_config.job, 'exp_name', '?')}")
         self.write(f"devices: {jax.device_count()} ({jax.devices()[0].device_kind})")
