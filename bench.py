@@ -19,8 +19,12 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model-dim", type=int, default=1024)
-    parser.add_argument("--num-heads", type=int, default=16)
+    # Default geometry: flagship *width* (5B preset is d3072/48 heads,
+    # reference: ttt/models/configs.py:63-68) at 2 layers — layer count is
+    # benched separately (--num-layers 42 at reduced width) since 42 x d3072
+    # exceeds one chip's HBM for params+optimizer and is a multi-chip config.
+    parser.add_argument("--model-dim", type=int, default=3072)
+    parser.add_argument("--num-heads", type=int, default=48)
     parser.add_argument("--num-layers", type=int, default=2)
     parser.add_argument("--ssm-layer", default="ttt_mlp", choices=["ttt_mlp", "ttt_linear"])
     parser.add_argument("--video-length", default="3sec")
@@ -37,6 +41,8 @@ def main():
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the timed steps into this dir")
+    parser.add_argument("--mode", default="train", choices=["train", "sample"],
+                        help="train-step MFU (default, driver contract) or DPM++ denoise throughput")
     args = parser.parse_args()
 
     import jax
@@ -74,6 +80,9 @@ def main():
         **VIDEO_DURATION_CONFIGS[args.video_length],
     )
 
+    if args.mode == "sample":
+        return bench_sampling(args)
+
     model = CogVideoX(cfg)
     B, TL = args.batch_size, args.text_length
     rng_np = np.random.default_rng(0)
@@ -98,7 +107,11 @@ def main():
     step_fn = jax.jit(make_train_step(model, tx, 1, 0.1), donate_argnums=0)
 
     rng = jax.random.PRNGKey(42)
-    for _ in range(args.warmup):
+    t_compile0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, rng)
+    float(metrics["loss"])  # fences trace+compile+first step
+    compile_s = time.perf_counter() - t_compile0
+    for _ in range(max(args.warmup - 1, 0)):
         state, metrics = step_fn(state, batch, rng)
     # NOTE: through the remote-execution tunnel, block_until_ready returns
     # before the device finishes; a host readback of a scalar is the only
@@ -129,6 +142,65 @@ def main():
         "tflops_per_step": round(flops / 1e12, 2),
         "device": jax.devices()[0].device_kind,
         "loss": loss_val,
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+def bench_sampling(args):
+    """DPM++(2M) denoise throughput (model-evals/s at CFG batch 2) — the
+    BASELINE.md sampling target. Eval uses mini_batch 16 like the reference's
+    eval TOMLs (reference: configs/eval/ttt-mlp/3s.toml)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ttt_video_dit_tpu.config.model_config import ModelConfig, VIDEO_DURATION_CONFIGS
+    from ttt_video_dit_tpu.models.dit import sampler as S
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+    from ttt_video_dit_tpu.training.setup import init_params
+    from ttt_video_dit_tpu.utils.metrics import device_peak_flops, dit_forward_flops
+
+    cfg = ModelConfig(
+        model_dim=args.model_dim,
+        num_heads=args.num_heads,
+        num_layers=args.num_layers,
+        ssm_layer=args.ssm_layer,
+        text_dim=4096,
+        use_kernel=args.use_kernel,
+        mini_batch_size=16,
+        dtype="bfloat16",
+        **VIDEO_DURATION_CONFIGS[args.video_length],
+    )
+    model = CogVideoX(cfg)
+    TL = args.text_length
+    T = cfg.compressed_num_frames
+    shape = (1, T, cfg.in_channels, cfg.latent_height * cfg.patch_size, cfg.latent_width * cfg.patch_size)
+    assert (cfg.num_chunks * TL + T * cfg.tokens_per_frame) % cfg.mini_batch_size == 0
+
+    params = init_params(model, cfg, mesh=None, rng=jax.random.PRNGKey(0), text_length=TL)
+    rng_np = np.random.default_rng(0)
+    pos = jnp.asarray(rng_np.standard_normal((1, cfg.num_chunks, TL, cfg.text_dim)), jnp.float32)
+    denoise_fn = S.make_cfg_denoise_fn(model, params, pos, jnp.zeros_like(pos))
+    smp = S.DPMPP2MSampler(num_steps=args.steps)
+
+    latents = smp(jax.random.PRNGKey(0), denoise_fn, shape)  # compile + warmup
+    float(jnp.sum(latents.astype(jnp.float32)))  # fence (see train-mode NOTE)
+    t0 = time.perf_counter()
+    latents = smp(jax.random.PRNGKey(1), denoise_fn, shape)
+    float(jnp.sum(latents.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+
+    evals = args.steps + 1  # DPM++ evaluates once per sigma incl. endpoint
+    flops = 2 * dit_forward_flops(cfg, 1, TL).total  # CFG doubles the batch
+    result = {
+        "metric": f"sample_denoise_evals_per_s_{args.video_length}_{args.ssm_layer}_d{args.model_dim}x{args.num_layers}_1chip",
+        "value": round(evals / dt, 3),
+        "unit": "denoise evals/s",
+        "vs_baseline": None,
+        "s_per_eval": round(dt / evals, 4),
+        "mfu_pct": round(100 * evals * flops / (dt * device_peak_flops()), 2),
+        "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
 

@@ -134,7 +134,7 @@ def _mlp_bwd_kernel(K: int, NG: int,
         XQ = xq_ref[0, :, i]
         XK = xk_ref[0, :, i]
         XV = xv_ref[0, :, i]
-        eta = eta_ref[0, :, i].astype(jnp.float32)
+        eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         X2 = gelu_tanh(Z1)
@@ -166,7 +166,7 @@ def _mlp_bwd_kernel(K: int, NG: int,
         XQ = xq_ref[0, :, j]
         XK = xk_ref[0, :, j]
         XV = xv_ref[0, :, j]
-        eta = eta_ref[0, :, j].astype(jnp.float32)
+        eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
         # Recompute the step's forward intermediates.
@@ -276,7 +276,7 @@ def _mlp_bwd_kernel(K: int, NG: int,
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
         dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
         dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
-        deta_ref[0, :, j] = de.astype(deta_ref.dtype)
+        deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         dw2_c[:] = dW2
@@ -328,7 +328,7 @@ def _linear_bwd_kernel(K: int, NG: int,
         XQ = xq_ref[0, :, i]
         XK = xk_ref[0, :, i]
         XV = xv_ref[0, :, i]
-        eta = eta_ref[0, :, i].astype(jnp.float32)
+        eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         target = (XV - XK).astype(jnp.float32)
@@ -349,7 +349,7 @@ def _linear_bwd_kernel(K: int, NG: int,
         XQ = xq_ref[0, :, j]
         XK = xk_ref[0, :, j]
         XV = xv_ref[0, :, j]
-        eta = eta_ref[0, :, j].astype(jnp.float32)
+        eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
@@ -406,7 +406,7 @@ def _linear_bwd_kernel(K: int, NG: int,
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
         dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
         dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
-        deta_ref[0, :, j] = de.astype(deta_ref.dtype)
+        deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         return 0
@@ -432,14 +432,17 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
     x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
-    eta_spec = pl.BlockSpec((1, G, K, CS, 1), rev_x, memory_space=pltpu.VMEM)
+    # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
+    # is padded 128x in HBM (see ttt_forward._specs).
+    eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
+                            memory_space=pltpu.VMEM)
     ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
     ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
     out_state = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
     out_ln = pl.BlockSpec((1, G, CS, F), state_map, memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_linear_bwd_kernel, K, NG),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
@@ -450,7 +453,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
@@ -467,11 +470,13 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, eta[..., None],
+        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, g,
     )
+    # deta back to the caller's [B, H, NC, CS] layout.
+    return outs[:3] + (jnp.transpose(outs[3], (0, 2, 1, 3)),) + outs[4:]
 
 
 def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: bool) -> int:
@@ -516,7 +521,10 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
     x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
-    eta_spec = pl.BlockSpec((1, G, K, CS, 1), rev_x, memory_space=pltpu.VMEM)
+    # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
+    # is padded 128x in HBM (see ttt_forward._specs).
+    eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
+                            memory_space=pltpu.VMEM)
     ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
     ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
@@ -536,7 +544,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F4, F), jnp.float32),
@@ -561,9 +569,10 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, eta[..., None],
+        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, w2_ck, b2_ck, g,
     )
-    return outs
+    # deta back to the caller's [B, H, NC, CS] layout.
+    return outs[:3] + (jnp.transpose(outs[3], (0, 2, 1, 3)),) + outs[4:]

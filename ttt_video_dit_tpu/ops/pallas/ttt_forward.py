@@ -96,7 +96,7 @@ def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1
     XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
     XK = xk_ref[0, :, 0]
     XV = xv_ref[0, :, 0]
-    eta = eta_ref[0, :, 0].astype(jnp.float32)  # [G, CS, 1]
+    eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F] row-replicated
     lnb = lnb_ref[:].astype(jnp.float32)
 
@@ -146,7 +146,7 @@ def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
     XQ = xq_ref[0, :, 0]  # [G, CS, F]
     XK = xk_ref[0, :, 0]
     XV = xv_ref[0, :, 0]
-    eta = eta_ref[0, :, 0].astype(jnp.float32)
+    eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F]
     lnb = lnb_ref[:].astype(jnp.float32)
 
@@ -195,7 +195,11 @@ def _specs(H, G, CS, F, K):
     HG = H // G
     x_map = lambda i, n: (i // HG, i % HG, n, 0, 0)
     x_spec = lambda f: pl.BlockSpec((1, G, 1, CS, f), x_map, memory_space=pltpu.VMEM)
-    eta_spec = pl.BlockSpec((1, G, 1, CS, 1), x_map, memory_space=pltpu.VMEM)
+    # eta rides as [B, NC, H, CS] (rank 4): a trailing singleton lane dim
+    # ([..., CS, 1]) would be padded 128x in HBM (measured: 0.58 MB -> 72 MB
+    # per remat temp at the 42-layer geometry -> OOM). The [G, CS] block is
+    # expanded to [G, CS, 1] inside the kernel instead.
+    eta_spec = pl.BlockSpec((1, 1, G, CS), lambda i, n: (i // HG, n, i % HG, 0), memory_space=pltpu.VMEM)
     # ln params row-replicated host-side to [H, CS, F].
     ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
@@ -240,7 +244,7 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, eta[..., None],
+        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
     )
@@ -281,7 +285,7 @@ def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_grou
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, eta[..., None],
+        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
         W2.astype(jnp.float32), _replicate_rows(b2.astype(jnp.float32), CS),

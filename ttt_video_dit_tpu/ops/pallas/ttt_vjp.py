@@ -117,7 +117,7 @@ def _linear_bwd(K, interpret, fused, res, g):
         )
         sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
         return (
-            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de[..., 0], eta),
+            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
             jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
             jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
             dW1, db1[:, :, 0:1, :],
@@ -188,7 +188,7 @@ def _mlp_bwd(K, interpret, fused, res, g):
         dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
         sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
         return (
-            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de[..., 0], eta),
+            sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
             jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
             jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
             dW1, db1[:, :, 0:1, :], dW2, db2[:, :, 0:1, :],
