@@ -91,9 +91,14 @@ def _splash_spec(S: int, H: int, block: int, valid: int):
 
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
+    # kv_compute at half the fetch block: slightly faster (62.6 vs 64.6 ms
+    # fwd+bwd at S=18048/16 heads) and keeps the scores tile inside splash's
+    # fixed 16 MB scoped-vmem stack, which block-1024 compute can exceed when
+    # surrounding remat fusions share the budget (seen at 42 layers).
+    kv_compute = min(block, 512)
     bs = splash.BlockSizes(
-        block_q=block, block_kv=block, block_kv_compute=block,
-        block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=block,
+        block_q=block, block_kv=block, block_kv_compute=kv_compute,
+        block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=kv_compute,
         use_fused_bwd_kernel=True,
     )
     return mask, bs
