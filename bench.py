@@ -71,6 +71,7 @@ def main():
         ssm_layer=args.ssm_layer,
         text_dim=4096,
         use_kernel=args.use_kernel,
+        remat_transformer_layers=args.remat != "none",
         remat_seq_modeling_block=args.remat in ("block", "full"),
         remat_mlp=args.remat in ("block", "full"),
         remat_attention=args.remat == "full",

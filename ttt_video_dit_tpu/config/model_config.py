@@ -77,6 +77,10 @@ class ModelConfig:
     prefix_temporal_length: int = 1  # overlapping prefix frames per window
 
     # Remat
+    # Wrap each layer group in jax.checkpoint (the reference always does,
+    # reference: dit.py:494-502); disable for single-chip benches where
+    # activations fit HBM and recompute is pure overhead.
+    remat_transformer_layers: bool = True
     remat_transformer_layer_group_size: int = 1
     remat_forward_ssm: bool = False
     remat_reverse_ssm: bool = False

@@ -200,8 +200,8 @@ class SeqModelingBlock(nn.Module):
         def run_ssm(mdl, x):
             return mdl.ssm(x, meta)
 
-        fwd = nn.remat(run_ssm, prevent_cse=False) if cfg.remat_forward_ssm else run_ssm
-        rev = nn.remat(run_ssm, prevent_cse=False) if cfg.remat_reverse_ssm else run_ssm
+        fwd = nn.remat(run_ssm) if cfg.remat_forward_ssm else run_ssm
+        rev = nn.remat(run_ssm) if cfg.remat_reverse_ssm else run_ssm
 
         residual = emb
         out = fwd(self, emb)
@@ -229,7 +229,7 @@ class SeqModelingBlock(nn.Module):
         def run_attn(mdl, v, t):
             return mdl.attention(v, t, meta)
 
-        attn = nn.remat(run_attn, prevent_cse=False) if cfg.remat_attention else run_attn
+        attn = nn.remat(run_attn) if cfg.remat_attention else run_attn
         out = attn(self, vid_emb, text_emb)
         out = self._ssm_forward(out, meta)
 
@@ -269,7 +269,7 @@ class TransformerLayer(nn.Module):
         def run_block(mdl, v, t):
             return mdl.seq_modeling_block(v, t, meta)
 
-        block_fn = nn.remat(run_block, prevent_cse=False) if cfg.remat_seq_modeling_block else run_block
+        block_fn = nn.remat(run_block) if cfg.remat_seq_modeling_block else run_block
         vid_out, text_out = block_fn(self, vid_in, text_in)
 
         vid_emb = vid_emb + gate[:, None, :] * vid_out
@@ -289,7 +289,7 @@ class TransformerLayer(nn.Module):
         def run_mlp(mdl, x):
             return mdl.mlp(x)
 
-        mlp_fn = nn.remat(run_mlp, prevent_cse=False) if cfg.remat_mlp else run_mlp
+        mlp_fn = nn.remat(run_mlp) if cfg.remat_mlp else run_mlp
         mlp_output = mlp_fn(self, mlp_input)
 
         vid_emb = vid_emb + gate[:, None, :] * mlp_output[:, stl:]
@@ -385,9 +385,10 @@ class DiffusionTransformer(nn.Module):
             if cfg.shard_transformer_inputs:
                 vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
                 text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
-            vid_emb, text_emb = nn.remat(group_forward, prevent_cse=False)(
-                self, vid_emb, text_emb, t_emb
+            group_fn = (
+                nn.remat(group_forward) if cfg.remat_transformer_layers else group_forward
             )
+            vid_emb, text_emb = group_fn(self, vid_emb, text_emb, t_emb)
 
         vid_emb = self.transformer_norm(vid_emb.astype(jnp.float32)).astype(dtype)
         return self.final_layer(vid_emb, t_emb, meta)
