@@ -76,6 +76,12 @@ class ModelConfig:
     attn_length: int = 12  # frames of fresh context per attention window
     prefix_temporal_length: int = 1  # overlapping prefix frames per window
 
+    # Compile the layer stack as one lax.scan over stacked params instead of
+    # an unrolled Python loop: HLO size (and compile time) stops scaling with
+    # depth (measured v5e: 42 unrolled layers compile in ~15 min). Param tree
+    # becomes {scan_layers/layer/...: [L, ...]} — use stack_layer_params() to
+    # convert checkpoints; the HF converter targets the unrolled layout.
+    scan_layers: bool = False
     # Remat
     # Wrap each layer group in jax.checkpoint (the reference always does,
     # reference: dit.py:494-502); disable for single-chip benches where

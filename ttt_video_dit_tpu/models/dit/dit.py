@@ -297,6 +297,53 @@ class TransformerLayer(nn.Module):
         return vid_emb, text_emb
 
 
+class _ScanLayerBody(nn.Module):
+    """One scanned transformer layer: carries (vid, text, t_emb); the static
+    sequence metadata rides as a module field (hashable frozen dataclass)."""
+
+    config: ModelConfig
+    meta: SequenceMetadata
+
+    @nn.compact
+    def __call__(self, carry, _):
+        vid, text, t_emb = carry
+        vid, text = TransformerLayer(self.config, name="layer")(vid, text, t_emb, self.meta)
+        return (vid, text, t_emb), None
+
+
+class LayerStack(nn.Module):
+    """scan-over-layers: one ``lax.scan`` over stacked per-layer params, so
+    HLO size and compile time stop scaling with depth (an unrolled 42-layer
+    stack compiles in ~15 min on v5e; the scanned stack is one layer's HLO).
+    Per-layer remat composes as nn.remat *inside* the scan, where
+    prevent_cse=False is the documented-safe staging case."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, vid_emb, text_emb, t_emb, meta: SequenceMetadata):
+        cfg = self.config
+        body = nn.remat(_ScanLayerBody, prevent_cse=False) if cfg.remat_transformer_layers else _ScanLayerBody
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )(cfg, meta, name="scan")
+        (vid_emb, text_emb, _), _ = stack((vid_emb, text_emb, t_emb), None)
+        return vid_emb, text_emb
+
+
+def stack_layer_params(dit_params: dict, num_layers: int) -> dict:
+    """Convert an unrolled DiT param subtree ({layers_i/...}) to the
+    scan_layers layout ({scan_layers/scan/layer/...} stacked on dim 0) —
+    for loading unrolled checkpoints / HF conversions into a scan model."""
+    out = {k: v for k, v in dit_params.items() if not k.startswith("layers_")}
+    per_layer = [dit_params[f"layers_{i}"] for i in range(num_layers)]
+    out["scan_layers"] = {"scan": {"layer": jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)}}
+    return out
+
+
 class FinalLayer(nn.Module):
     """adaLN + linear + unpatchify back to latent video (reference: dit.py:385-418)."""
 
@@ -344,7 +391,10 @@ class DiffusionTransformer(nn.Module):
         self.time_embed_0 = nn.Dense(cfg.time_embed_dim, dtype=dtype, param_dtype=jnp.float32)
         self.time_embed_2 = nn.Dense(cfg.time_embed_dim, dtype=dtype, param_dtype=jnp.float32)
         self.patch_embedding = PatchEmbedding(cfg)
-        self.layers = [TransformerLayer(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)]
+        if cfg.scan_layers:
+            self.layer_stack = LayerStack(cfg, name="scan_layers")
+        else:
+            self.layers = [TransformerLayer(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)]
         self.transformer_norm = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32
         )
@@ -373,22 +423,25 @@ class DiffusionTransformer(nn.Module):
 
         text_emb = text_emb.reshape(B, num_scenes * text_length, cfg.model_dim)
 
-        group = max(cfg.remat_transformer_layer_group_size, 1)
+        if cfg.scan_layers:
+            vid_emb, text_emb = self.layer_stack(vid_emb, text_emb, t_emb, meta)
+        else:
+            group = max(cfg.remat_transformer_layer_group_size, 1)
 
-        for i in range(0, cfg.num_layers, group):
+            for i in range(0, cfg.num_layers, group):
 
-            def group_forward(mdl, v, t, te, _start=i):
-                for layer in mdl.layers[_start : _start + group]:
-                    v, t = layer(v, t, te, meta)
-                return v, t
+                def group_forward(mdl, v, t, te, _start=i):
+                    for layer in mdl.layers[_start : _start + group]:
+                        v, t = layer(v, t, te, meta)
+                    return v, t
 
-            if cfg.shard_transformer_inputs:
-                vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
-                text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
-            group_fn = (
-                nn.remat(group_forward) if cfg.remat_transformer_layers else group_forward
-            )
-            vid_emb, text_emb = group_fn(self, vid_emb, text_emb, t_emb)
+                if cfg.shard_transformer_inputs:
+                    vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
+                    text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
+                group_fn = (
+                    nn.remat(group_forward) if cfg.remat_transformer_layers else group_forward
+                )
+                vid_emb, text_emb = group_fn(self, vid_emb, text_emb, t_emb)
 
         vid_emb = self.transformer_norm(vid_emb.astype(jnp.float32)).astype(dtype)
         return self.final_layer(vid_emb, t_emb, meta)

@@ -82,7 +82,7 @@ class _KVPadMask(_mask_lib.Mask):
 
 
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, block: int, valid: int):
+def _splash_spec(S: int, H: int, block: int, valid: int, fused_bwd: bool):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces."""
@@ -99,15 +99,26 @@ def _splash_spec(S: int, H: int, block: int, valid: int):
     bs = splash.BlockSizes(
         block_q=block, block_kv=block, block_kv_compute=kv_compute,
         block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=kv_compute,
-        use_fused_bwd_kernel=True,
+        block_q_dq=None if fused_bwd else block,
+        block_kv_dq=None if fused_bwd else kv_compute,
+        use_fused_bwd_kernel=fused_bwd,
     )
     return mask, bs
 
 
-def _splash_kernel(S: int, H: int, block: int, valid: int):
+def _fused_bwd_ok(batch: int, S: int, H: int, F: int, block: int) -> bool:
+    """The fused splash backward materializes per-kv-block dQ partials
+    [batch, S/block, H, S, F]; cap that stack at ~2 GB (at 21 x 63 s windows
+    it reaches 13.3 GB and OOMs v5e). The separate-dq backward is ~23 %
+    slower on the attention bwd but O(batch * S * F) in memory."""
+    partials = batch * (S // block) * H * S * F * 2  # bf16
+    return partials <= 2 * 1024**3
+
+
+def _splash_kernel(S: int, H: int, block: int, valid: int, fused_bwd: bool):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, block, valid)
+    mask, bs = _splash_spec(S, H, block, valid, fused_bwd)
     return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
 
 
@@ -130,7 +141,8 @@ def _splash(q, k, v, block: int | None = None):
     Measured v5e, S=18048, 16 heads: fwd 46 ms / fwd+bwd 109 ms vs the
     chunked path's 105 ms fwd (block 384)."""
     B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, block or _splash_block(S), S)
+    block = block or _splash_block(S)
+    kernel = _splash_kernel(S, H, block, S, _fused_bwd_ok(B, S, H, F, block))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
@@ -148,7 +160,7 @@ def _splash_padded(q, k, v, block: int):
         return _splash(q, k, v, block=block)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    kernel = _splash_kernel(Sp, H, block, S)
+    kernel = _splash_kernel(Sp, H, block, S, _fused_bwd_ok(B, Sp, H, F, block))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))

@@ -152,7 +152,13 @@ def _mlp_bwd_kernel(K: int, NG: int,
         W2n = W2 - _bmm(X2c, G2, transpose_a=True)
         return (W1n, b1n, W2n, b2n)
 
-    init = (w1ck_ref[0, :, 0], b1ck_ref[0, :, 0], w2ck_ref[0, :, 0], b2ck_ref[0, :, 0])
+    ones_cs8 = jnp.ones((G_heads, CS, 8), jnp.float32)
+    init = (
+        w1ck_ref[0, :, 0],
+        _bmm(ones_cs8, b1ck_ref[0, :, 0]),  # 8-row x 0.125 ckpt -> [G, CS, F4]
+        w2ck_ref[0, :, 0],
+        _bmm(ones_cs8, b2ck_ref[0, :, 0]),
+    )
     jax.lax.fori_loop(0, K, fwd_body, init)
 
     # ---- Pass B: reverse through the group applying the step VJP.
@@ -339,7 +345,8 @@ def _linear_bwd_kernel(K: int, NG: int,
         W1n = W1 - _bmm(XK, Gs, transpose_a=True)
         return (W1n, b1n)
 
-    jax.lax.fori_loop(0, K, fwd_body, (w1ck_ref[0, :, 0], b1ck_ref[0, :, 0]))
+    ones_cs8 = jnp.ones((G_heads, CS, 8), jnp.float32)
+    jax.lax.fori_loop(0, K, fwd_body, (w1ck_ref[0, :, 0], _bmm(ones_cs8, b1ck_ref[0, :, 0])))
 
     def bwd_body(jj, _):
         j = K - 1 - jj
@@ -446,7 +453,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
         functools.partial(_linear_bwd_kernel, K, NG),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
-                  ck_spec(F, F), ck_spec(CS, F), x_spec(F)],
+                  ck_spec(F, F), ck_spec(8, F), x_spec(F)],
         out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
                    out_state(F, F), out_state(CS, F), out_ln, out_ln),
         out_shape=(
@@ -535,7 +542,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
         functools.partial(_mlp_bwd_kernel, K, NG),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
-                  ck_spec(F, F4), ck_spec(CS, F4), ck_spec(F4, F), ck_spec(CS, F),
+                  ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),
                   x_spec(F)],
         out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
                    out_state(F, F4), out_state(CS, F4), out_state(F4, F), out_state(CS, F),

@@ -91,7 +91,9 @@ def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1
     @pl.when(n % K == 0)
     def _():
         w1_ckpt_ref[0, :, 0] = w_scr[:]
-        b1_ckpt_ref[0, :, 0] = b_scr[:]
+        # Bias rows are identical; store 8 rows x 0.125 so the consumer's
+        # ones[CS,8] matmul reconstructs b exactly (1/8 the HBM of CS rows).
+        b1_ckpt_ref[0, :, 0] = b_scr[:, 0:8] * 0.125
 
     XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
     XK = xk_ref[0, :, 0]
@@ -139,9 +141,10 @@ def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
     @pl.when(n % K == 0)
     def _():
         w1_ckpt_ref[0, :, 0] = w1_scr[:]
-        b1_ckpt_ref[0, :, 0] = b1_scr[:]
+        # 8-row x 0.125 bias checkpoints (see _linear_kernel note).
+        b1_ckpt_ref[0, :, 0] = b1_scr[:, 0:8] * 0.125
         w2_ckpt_ref[0, :, 0] = w2_scr[:]
-        b2_ckpt_ref[0, :, 0] = b2_scr[:]
+        b2_ckpt_ref[0, :, 0] = b2_scr[:, 0:8] * 0.125
 
     XQ = xq_ref[0, :, 0]  # [G, CS, F]
     XK = xk_ref[0, :, 0]
@@ -231,11 +234,11 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
                   state_spec(F, F), state_spec(CS, F)],
-        out_specs=(x_spec(F), ckpt_spec(F, F), ckpt_spec(CS, F)),
+        out_specs=(x_spec(F), ckpt_spec(F, F), ckpt_spec(8, F)),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NG, F, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, NG, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, 8, F), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((G, F, F), jnp.float32),
@@ -248,8 +251,8 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
     )
-    # b checkpoints returned row-replicated [B,H,NG,CS,F]; consumers that
-    # want the canonical [B,H,NG,1,F] slice row 0.
+    # b checkpoints returned 8-row compressed [B,H,NG,8,F] (rows = b * 0.125);
+    # reconstruct with sum over the row axis.
     return out, w_ckpt, b_ckpt
 
 
@@ -268,13 +271,13 @@ def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_grou
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
                   state_spec(F, F4), state_spec(CS, F4), state_spec(F4, F), state_spec(CS, F)],
-        out_specs=(x_spec(F), ckpt_spec(F, F4), ckpt_spec(CS, F4), ckpt_spec(F4, F), ckpt_spec(CS, F)),
+        out_specs=(x_spec(F), ckpt_spec(F, F4), ckpt_spec(8, F4), ckpt_spec(F4, F), ckpt_spec(8, F)),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NG, F, F4), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, NG, CS, F4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, 8, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, NG, F4, F), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, NG, CS, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, NG, 8, F), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((G, F, F4), jnp.float32),

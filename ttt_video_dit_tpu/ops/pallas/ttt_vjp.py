@@ -129,8 +129,9 @@ def _linear_bwd(K, interpret, fused, res, g):
     xs_grouped = (gp(XQ), gp(XK), gp(XV), gp(eta))
     g_grouped = gp(g.astype(jnp.float32))
 
-    # Checkpoints: [B,H,NG,...] -> [NG,B,H,...]; b ckpts arrive row-replicated.
-    b_ck = b_ck[:, :, :, 0:1, :]
+    # Checkpoints: [B,H,NG,...] -> [NG,B,H,...]; b ckpts arrive 8-row
+    # compressed (rows = b * 0.125) -> sum rows to reconstruct [.., 1, F].
+    b_ck = jnp.sum(b_ck, axis=-2, keepdims=True)
     ck = lambda c: jnp.moveaxis(c, 2, 0)
     ckpts = (ck(w_ck), ck(b_ck))
 
@@ -200,8 +201,8 @@ def _mlp_bwd(K, interpret, fused, res, g):
     xs_grouped = (gp(XQ), gp(XK), gp(XV), gp(eta))
     g_grouped = gp(g.astype(jnp.float32))
 
-    b1_ck = b1_ck[:, :, :, 0:1, :]
-    b2_ck = b2_ck[:, :, :, 0:1, :]
+    b1_ck = jnp.sum(b1_ck, axis=-2, keepdims=True)
+    b2_ck = jnp.sum(b2_ck, axis=-2, keepdims=True)
     ck = lambda c: jnp.moveaxis(c, 2, 0)
     ckpts = (ck(w1_ck), ck(b1_ck), ck(w2_ck), ck(b2_ck))
 

@@ -72,6 +72,10 @@ def _spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
         else:
             return P()
 
+    if len(entries) == len(shape) - 1:
+        # scan-over-layers stacks params with a leading layer dim; keep the
+        # per-layer rule and leave the layer dim unsharded.
+        entries = (None,) + tuple(entries)
     if len(entries) != len(shape):
         return P()
 
