@@ -176,3 +176,21 @@ def test_sharded_train_step_on_mesh(rng):
         # Check a TP-sharded param is actually distributed.
         w1 = params["params"]["dit"]["layers_0"]["seq_modeling_block"]["ssm"]["W1"]
         assert len(w1.sharding.device_set) > 1
+
+
+def test_stats_snapshot_roundtrip(tmp_path):
+    """Per-checkpoint stats snapshot + resume restore
+    (reference: ttt/infra/logging.py:126-147 save_multi/load_multi)."""
+    from ttt_video_dit_tpu.utils.logging import MultiLogger
+
+    logger = MultiLogger(dump_folder=str(tmp_path / "logs"))
+    logger.log_stats(1, {"train/loss": 0.5})
+    logger.log_stats(2, {"train/loss": 0.25})
+    ckpt = tmp_path / "checkpoint" / "2"
+    logger.snapshot_stats(str(ckpt))
+
+    resumed = MultiLogger(dump_folder=str(tmp_path / "logs2"))
+    resumed.load_stats(str(ckpt))
+    assert resumed.stats == logger.stats
+    resumed.load_stats(str(tmp_path / "missing"))  # warns, keeps history
+    assert resumed.stats == logger.stats

@@ -186,3 +186,43 @@ def test_encode_rejects_untileable_frame_count(rng):
     x_ok = rng.standard_normal((1, 3, 13, 32, 32)).astype(np.float32)
     z = vae.encode_first_stage(x_ok, window=4)
     assert z.shape[2] == (13 - 1) // 2 + 1  # tiny config: temporal /2
+
+
+def test_conv_time_chunks_cover_exactly():
+    """Chunk ranges tile [0, t_out) exactly and respect the byte limit."""
+    from ttt_video_dit_tpu.models.vae.enc_dec import _conv_time_chunks
+
+    assert _conv_time_chunks(9, nbytes=100, limit=1000) == [(0, 9)]
+    for t_out in (1, 2, 9, 49):
+        for n_parts in (2, 3, 7):
+            chunks = _conv_time_chunks(t_out, nbytes=n_parts * 100, limit=100)
+            assert chunks[0][0] == 0 and chunks[-1][1] == t_out
+            assert all(a[1] == b[0] for a, b in zip(chunks, chunks[1:]))
+            max_len = -(-t_out // min(n_parts, t_out))
+            assert all(e - s <= max_len for s, e in chunks)
+
+
+def test_chunked_conv_exact(rng, monkeypatch):
+    """SafeConv3d-parity temporal chunking (reference: ttt/models/vae/utils.py:72-91)
+    is numerically exact: forcing every conv to split must reproduce the
+    unchunked encoder/decoder up to fp32 conv-algorithm reassociation (XLA
+    picks per-shape conv algorithms, so not bit-for-bit)."""
+    import jax
+
+    from ttt_video_dit_tpu.models.vae import enc_dec
+
+    cfg = tiny_vae_config()
+    vae = VideoAutoencoder(cfg, cfg).init_random(jax.random.PRNGKey(0), spatial=32, latent_spatial=16)
+    x = rng.standard_normal((1, 3, 9, 32, 32)).astype(np.float32)
+
+    z_ref = np.asarray(vae.encode_first_stage(x, window=8))
+    frames_ref = np.asarray(vae.decode_first_stage(z_ref[:, : cfg.z_channels], window=2))
+
+    monkeypatch.setattr(enc_dec, "CONV_CHUNK_BYTES", 1)  # force max splitting
+    vae2 = VideoAutoencoder(cfg, cfg)  # fresh jit caches
+    vae2.enc_params, vae2.dec_params = vae.enc_params, vae.dec_params
+    z_chunked = np.asarray(vae2.encode_first_stage(x, window=8))
+    frames_chunked = np.asarray(vae2.decode_first_stage(z_chunked[:, : cfg.z_channels], window=2))
+
+    np.testing.assert_allclose(z_chunked, z_ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(frames_chunked, frames_ref, rtol=0, atol=1e-4)

@@ -135,6 +135,7 @@ def main(job_config) -> None:
             )
             data_module.sampler.load_state_dict(sampler_state)
             logger.wandb_run_id = metadata.get("wandb_id")
+            logger.load_stats(os.path.join(ckpt_dir, str(start_step)))
             logger.write(f"resumed from step {start_step}")
         elif job_config.checkpoint.init_state_dir:
             loaded = checkpointer.load_pretrained(job_config.checkpoint.init_state_dir, jax.eval_shape(lambda: params))

@@ -34,6 +34,26 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+# SafeConv3d parity (reference: ttt/models/vae/utils.py:72-91): the reference
+# splits any conv whose input exceeds 2 GB into temporal parts (cudnn's 2 GB
+# tensor limit).  TPUs have no such hard limit, but the same static temporal
+# chunking bounds the conv workspace XLA must keep live at the full-resolution
+# encoder levels.  Chunking a *causal* conv with a (kt-1)-frame halo is exact,
+# so this never changes numerics (tests/test_vae.py::test_chunked_conv_exact).
+CONV_CHUNK_BYTES = 2 ** 31
+
+
+def _conv_time_chunks(t_out: int, nbytes: int, limit: int):
+    """Split t_out output frames into equal-ish chunks so each chunk's input
+    stays under `limit` bytes.  Returns a list of (start, stop) output ranges;
+    a single full-range chunk means "don't split"."""
+    if nbytes <= limit or t_out <= 1:
+        return [(0, t_out)]
+    n = min(-(-nbytes // limit), t_out)
+    step = -(-t_out // n)
+    return [(s, min(s + step, t_out)) for s in range(0, t_out, step)]
+
+
 class CausalConv3d(nn.Module):
     """3D conv, causal in time: pads (kt-1) frames on the left, either by
     repeating the first frame (first tile) or from the cached tail of the
@@ -52,13 +72,19 @@ class CausalConv3d(nn.Module):
             pad = jnp.repeat(x[:, :1], kt - 1, axis=1) if first else cache.value
             x = jnp.concatenate([pad, x], axis=1)
             cache.value = x[:, -(kt - 1):]
-        return nn.Conv(
+        conv = nn.Conv(
             self.features,
             kernel_size=(kt, kh, kw),
             strides=(1, 1, 1),
             padding=[(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
             name="conv",
-        )(x)
+        )
+        t_out = x.shape[1] - (kt - 1)
+        chunks = _conv_time_chunks(t_out, x.size * x.dtype.itemsize, CONV_CHUNK_BYTES)
+        if len(chunks) == 1:
+            return conv(x)
+        # Each output range [s, e) reads input frames [s, e + kt - 1).
+        return jnp.concatenate([conv(x[:, s : e + kt - 1]) for s, e in chunks], axis=1)
 
 
 class SpatialNorm3D(nn.Module):

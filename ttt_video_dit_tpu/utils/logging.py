@@ -82,6 +82,19 @@ class MultiLogger:
             except Exception as e:  # noqa: BLE001
                 self.write(f"wandb alert failed ({e})")
 
+    def load_stats(self, src_dir: str) -> None:
+        """Restore the stats history snapshotted into a checkpoint directory
+        on resume (reference: ttt/infra/logging.py:138-147, ``load_multi``);
+        resuming without one just warns, like the reference."""
+        if not self.is_main:
+            return
+        path = os.path.join(src_dir, "all_stats.json")
+        if not os.path.exists(path):
+            self.write("WARNING: resuming without a stats-history snapshot")
+            return
+        with open(path) as f:
+            self.stats = json.load(f)
+
     def snapshot_stats(self, dst_dir: str) -> None:
         """Copy the stats history into a checkpoint directory
         (reference: ttt/infra/logging.py:126-147)."""
