@@ -64,6 +64,13 @@ def main() -> None:
     parser.add_argument("--fps", type=int, default=16)
     parser.add_argument("--process-index", type=int, default=int(os.environ.get("TTT_PROC_ID", "0")))
     parser.add_argument("--process-count", type=int, default=int(os.environ.get("TTT_NUM_PROCS", "1")))
+    parser.add_argument(
+        "--spatial-shard", action="store_true",
+        help="shard each encode window over H across all local devices (SPMD "
+        "VAE context parallelism) — divides the ~8.7 GB level-0 feature maps "
+        "of a 480x720 window by the device count; required geometry for "
+        "480x720 on 16 GB-HBM chips (docs/performance.md)",
+    )
     args = parser.parse_args()
 
     if args.num_frames is None:
@@ -80,7 +87,12 @@ def main() -> None:
     from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
-    vae = VideoAutoencoder.from_torch_checkpoint(args.vae_checkpoint)
+    mesh = None
+    if args.spatial_shard:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(1, -1, 1), ("replica", "fsdp", "tensor"))
+    vae = VideoAutoencoder.from_torch_checkpoint(args.vae_checkpoint, mesh=mesh)
 
     os.makedirs(args.save_dir, exist_ok=True)
     episodes = sorted(v for v in os.listdir(args.episode_dir) if v.endswith(".mp4"))

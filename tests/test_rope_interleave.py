@@ -99,3 +99,18 @@ def test_reverse_text_chunks():
     np.testing.assert_array_equal(out, expected)
     # Involution
     np.testing.assert_array_equal(np.asarray(reverse_text_chunks(reverse_text_chunks(x, 3), 3)), np.asarray(x))
+
+
+def test_rope_prefixed_matches_slice_concat(rng):
+    """apply_rope_prefixed == concat([x[:, :p], apply_rope(x[:, p:])]) — the
+    identity-prefix rows must leave text tokens untouched."""
+    import jax.numpy as jnp
+
+    from ttt_video_dit_tpu.ops.rope import apply_rope, apply_rope_prefixed, precompute_rope_3d
+
+    cos, sin = precompute_rope_3d(32, 4, 4, 3)
+    x = jnp.asarray(rng.standard_normal((2, 54, 3, 32)), jnp.float32)  # 6 text + 48 video
+    ref = jnp.concatenate([x[:, :6], apply_rope(x[:, 6:], cos, sin, seq_axis=1)], axis=1)
+    out = apply_rope_prefixed(x, cos, sin, 6, seq_axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out[:, :6]), np.asarray(x[:, :6]))

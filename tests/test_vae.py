@@ -226,3 +226,27 @@ def test_chunked_conv_exact(rng, monkeypatch):
 
     np.testing.assert_allclose(z_chunked, z_ref, rtol=0, atol=1e-4)
     np.testing.assert_allclose(frames_chunked, frames_ref, rtol=0, atol=1e-4)
+
+
+def test_spmd_vae_matches_unsharded(rng):
+    """SPMD spatially-sharded encode/decode (the TPU-native form of the
+    reference's VAE context parallelism, cp_enc_dec.py:237-284): GSPMD's
+    halo exchanges + GroupNorm all-reduces must reproduce the single-device
+    result."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = tiny_vae_config()
+    vae = VideoAutoencoder(cfg, cfg).init_random(jax.random.PRNGKey(0), spatial=32, latent_spatial=16)
+    x = rng.standard_normal((1, 3, 9, 32, 32)).astype(np.float32)
+    z_ref = np.asarray(vae.encode_first_stage(x, window=8))
+    frames_ref = np.asarray(vae.decode_first_stage(z_ref[:, : cfg.z_channels], window=2))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2), ("replica", "fsdp", "tensor"))
+    vae_s = VideoAutoencoder(cfg, cfg, mesh=mesh)
+    vae_s.enc_params, vae_s.dec_params = vae.enc_params, vae.dec_params
+    z_s = np.asarray(vae_s.encode_first_stage(x, window=8))
+    frames_s = np.asarray(vae_s.decode_first_stage(z_s[:, : cfg.z_channels], window=2))
+
+    np.testing.assert_allclose(z_s, z_ref, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(frames_s, frames_ref, rtol=0, atol=1e-4)

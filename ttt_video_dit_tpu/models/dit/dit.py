@@ -32,7 +32,7 @@ from ttt_video_dit_tpu.models.ttt.interleave import reverse_text_chunks
 from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
 from ttt_video_dit_tpu.ops.attention import attention
 from ttt_video_dit_tpu.ops.ln import gelu_tanh
-from ttt_video_dit_tpu.ops.rope import apply_rope, precompute_rope_3d
+from ttt_video_dit_tpu.ops.rope import apply_rope_prefixed, precompute_rope_3d
 from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
 
 _init_normal = nn.initializers.normal(stddev=0.02)
@@ -152,7 +152,7 @@ class SegmentLocalAttention(nn.Module):
         # Rope over *local* window positions (every window uses positions
         # 0..WF*TPF, matching reference Rotary3DPositionEmbedding.forward).
         cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.theta)
-        rope = lambda t: jnp.concatenate([t[:, :TL], apply_rope(t[:, TL:], cos, sin, seq_axis=1)], axis=1)
+        rope = lambda t: apply_rope_prefixed(t, cos, sin, TL, seq_axis=1)
         q, k = rope(q), rope(k)
 
         q = maybe_shard(q, DATA, None, TENSOR, None)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from ttt_video_dit_tpu.config.model_config import VaeModelConfig
 from ttt_video_dit_tpu.models.vae.enc_dec import Decoder3D, Encoder3D
 
@@ -39,6 +41,7 @@ class VideoAutoencoder:
         enc_params=None,
         dec_params=None,
         scale_factor: float = 1.0,
+        mesh: Optional[Mesh] = None,
     ):
         self.encoder_config = encoder_config or VaeModelConfig.get_encoder_config()
         self.decoder_config = decoder_config or VaeModelConfig.get_decoder_config()
@@ -47,6 +50,19 @@ class VideoAutoencoder:
         self.enc_params = enc_params
         self.dec_params = dec_params
         self.scale_factor = scale_factor
+        # SPMD spatial sharding: the TPU-native form of the reference's VAE
+        # context parallelism (reference: ttt/models/vae/cp_enc_dec.py:237-284
+        # ships halo exchange but runs cp_size=1).  With a mesh, pixel tiles
+        # are sharded over H across ALL mesh devices; GSPMD inserts the conv
+        # halo exchanges and GroupNorm all-reduces, dividing the ~8.7 GB
+        # level-0 feature maps of a 49x480x720 encode window by the device
+        # count (the reason that window does not fit one v5e chip —
+        # docs/performance.md).
+        self.mesh = mesh
+        if mesh is not None:
+            all_axes = tuple(mesh.axis_names)
+            self._x_shd = NamedSharding(mesh, P(None, None, all_axes, None, None))
+            self._rep_shd = NamedSharding(mesh, P())
 
         self._enc_apply = jax.jit(
             lambda v, x, first: self.encoder.apply(v, x, first=first, mutable=["cache"]),
@@ -56,6 +72,14 @@ class VideoAutoencoder:
             lambda v, z, first: self.decoder.apply(v, z, first=first, mutable=["cache"]),
             static_argnames=("first",),
         )
+
+    def _place(self, x, params):
+        """Shard a pixel/latent tile over H and replicate params (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return x, params
+        params = jax.tree.map(lambda p: jax.device_put(p, self._rep_shd), params)
+        return jax.device_put(x, self._x_shd), params
 
     # ------------------------------------------------------------- init
     def init_random(self, rng, spatial: int = 256, latent_spatial: int = 32):
@@ -90,13 +114,14 @@ class VideoAutoencoder:
             f"precompute targets FPS*seconds+1 frames per episode"
         )
         n_windows = T // window if T > 1 else 1
+        x, enc_params = self._place(x, self.enc_params)
 
         cache = {}
         outs = []
         for i in range(n_windows):
             start, end = (0, window + 1) if i == 0 else (window * i + 1, window * (i + 1) + 1)
             part = x[:, start:end]
-            variables = {"params": self.enc_params["params"], **({"cache": cache} if cache else {})}
+            variables = {"params": enc_params["params"], **({"cache": cache} if cache else {})}
             out, mut = self._enc_apply(variables, part, first=(i == 0))
             cache = mut["cache"]
             outs.append(out)
@@ -110,13 +135,14 @@ class VideoAutoencoder:
         z = _to_channels_last(z)
         T = z.shape[1]
         n_windows = T // window
+        z, dec_params = self._place(z, self.dec_params)
 
         cache = {}
         outs = []
         for i in range(n_windows):
             start, end = (0, window + 1) if i == 0 else (window * i + 1, window * (i + 1) + 1)
             part = z[:, start:end]
-            variables = {"params": self.dec_params["params"], **({"cache": cache} if cache else {})}
+            variables = {"params": dec_params["params"], **({"cache": cache} if cache else {})}
             out, mut = self._dec_apply(variables, part, first=(i == 0))
             cache = mut["cache"]
             outs.append(out)
@@ -132,10 +158,12 @@ class VideoAutoencoder:
 
     # ------------------------------------------------------------ loading
     @classmethod
-    def from_torch_checkpoint(cls, path: str, scale_factor: float = 1.0, version: float = 1.0):
+    def from_torch_checkpoint(
+        cls, path: str, scale_factor: float = 1.0, version: float = 1.0, mesh: Optional[Mesh] = None
+    ):
         enc_cfg = VaeModelConfig.get_encoder_config(version)
         dec_cfg = VaeModelConfig.get_decoder_config(version)
-        vae = cls(enc_cfg, dec_cfg, scale_factor=scale_factor)
+        vae = cls(enc_cfg, dec_cfg, scale_factor=scale_factor, mesh=mesh)
         enc_params, dec_params = load_torch_vae_checkpoint(path)
         vae.enc_params, vae.dec_params = {"params": enc_params}, {"params": dec_params}
         return vae

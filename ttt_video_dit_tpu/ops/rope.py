@@ -51,23 +51,61 @@ def precompute_rope_3d(head_dim: int, height: int, width: int, num_frames: int, 
     return np.cos(ang), np.sin(ang)
 
 
+@functools.lru_cache(maxsize=4)
+def _pair_rotation_matrix(D: int) -> np.ndarray:
+    """[D, D] constant with (x @ R)[2i] = -x[2i+1], (x @ R)[2i+1] = x[2i]."""
+    R = np.zeros((D, D), np.float32)
+    idx = np.arange(0, D, 2)
+    R[idx + 1, idx] = -1.0
+    R[idx, idx + 1] = 1.0
+    return R
+
+
+def _interleave_pairs(table, L: int):
+    """[L', D/2] -> [L, D] with out[:, 2i] == out[:, 2i+1] == table[:, i]."""
+    rep = np.repeat if isinstance(table, np.ndarray) else jnp.repeat
+    return rep(table[:L], 2, axis=-1)
+
+
 def apply_rope(x, cos, sin, seq_axis: int = -2):
     """Rotate adjacent feature pairs of ``x`` by the given angles.
 
     x: [..., D] with the sequence dimension at ``seq_axis``; cos/sin:
-    [L', D/2] with L' >= x.shape[seq_axis] (sliced). Computation runs in
-    float32 and is cast back to x.dtype. Supporting an arbitrary ``seq_axis``
-    lets callers keep the token-major [B, L, H, F] layout — transposing to
-    [B, H, L, F] first materializes ~0.3 ms layout-copy HLOs per tensor on
-    TPU (measured: ~20 ms/step at the 3 s bench geometry)."""
+    [L', D/2] with L' >= x.shape[seq_axis] (sliced). Supporting an arbitrary
+    ``seq_axis`` lets callers keep the token-major [B, L, H, F] layout.
+
+    TPU-native formulation: ``out = x * cos_il + (x @ R) * sin_il`` with
+    interleaved (lane-duplicated) tables and a constant +-1 pair-swap matrix
+    ``R`` on the MXU. The pair swap is exact in bf16 and the combine runs in
+    f32, so numerics match the naive interleaved form — but there is no
+    stride-2 lane slicing, which made XLA pick sequence-minor layouts for the
+    f32 intermediates and spend ~1 ms/tensor on layout copies (measured at
+    the 3 s bench geometry, ~25 ms/step across the q/k rope sites)."""
     seq_axis = seq_axis % x.ndim
     L, D = x.shape[seq_axis], x.shape[-1]
-    shape = [1] * (x.ndim + 1)
-    shape[seq_axis], shape[-2] = L, D // 2
-    cos = jnp.asarray(cos[:L], jnp.float32).reshape(shape)
-    sin = jnp.asarray(sin[:L], jnp.float32).reshape(shape)
+    shape = [1] * x.ndim
+    shape[seq_axis], shape[-1] = L, D
+    cos_il = jnp.asarray(_interleave_pairs(cos, L), jnp.float32).reshape(shape)
+    sin_il = jnp.asarray(_interleave_pairs(sin, L), jnp.float32).reshape(shape)
 
-    xr = x.astype(jnp.float32).reshape(*x.shape[:-1], D // 2, 2)
-    x1, x2 = xr[..., 0:1], xr[..., 1:2]
-    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.reshape(x.shape).astype(x.dtype)
+    x_rot = x @ jnp.asarray(_pair_rotation_matrix(D), x.dtype)
+    out = x.astype(jnp.float32) * cos_il + x_rot.astype(jnp.float32) * sin_il
+    return out.astype(x.dtype)
+
+
+def apply_rope_prefixed(x, cos, sin, prefix: int, seq_axis: int = 1):
+    """Rope with the first ``prefix`` sequence positions left unrotated
+    (text tokens). Equivalent to
+    ``concat([x[:, :prefix], apply_rope(x[:, prefix:])])`` but applied as one
+    fused elementwise pass using identity-angle prefix rows — the slice +
+    concat form materializes two extra full-tensor copies per call."""
+    seq_axis = seq_axis % x.ndim
+    L_vid = x.shape[seq_axis] - prefix
+    Dh = x.shape[-1] // 2
+    if isinstance(cos, np.ndarray):
+        cos_p = np.concatenate([np.ones((prefix, Dh), np.float32), cos[:L_vid]], axis=0)
+        sin_p = np.concatenate([np.zeros((prefix, Dh), np.float32), sin[:L_vid]], axis=0)
+    else:
+        cos_p = jnp.concatenate([jnp.ones((prefix, Dh), jnp.float32), cos[:L_vid]], axis=0)
+        sin_p = jnp.concatenate([jnp.zeros((prefix, Dh), jnp.float32), sin[:L_vid]], axis=0)
+    return apply_rope(x, cos_p, sin_p, seq_axis)
