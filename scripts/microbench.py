@@ -66,14 +66,14 @@ def bench_attention(iters):
         run(f"splash-pad18432-{blk}", functools.partial(attn_mod._splash_padded, block=blk))
 
 
-def bench_ttt(iters):
+def bench_ttt(iters, heads: int = 16):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ttt_video_dit_tpu.ops.pallas import ttt_backward, ttt_forward
 
-    B, H, CS, F = 1, 16, 64, 64
+    B, H, CS, F = 1, heads, 64, 64
     NC = 18048 // CS  # 282
     K = 16
     pad = (-NC) % K
@@ -90,7 +90,8 @@ def bench_ttt(iters):
     b2 = jnp.zeros((B, H, 1, F), jnp.float32)
     g = mk(B, H, NCp, CS, F)
 
-    for G in (16,):
+    fwd_groups = [G for G in (16, 24, 48) if H % G == 0 and G <= H] or [H]
+    for G in fwd_groups:
         f = jax.jit(
             lambda XQ, XK, XV, eta: ttt_forward.ttt_mlp_forward(
                 XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K, head_group=G
@@ -110,7 +111,7 @@ def bench_ttt(iters):
     )
     _, w1_ck, b1_ck, w2_ck, b2_ck = fwd(XQ, XK, XV, eta)
 
-    for G in (8, 16):
+    for G in [G for G in (8, 12, 16) if H % G == 0]:
         b = jax.jit(
             lambda XQ, XK, XV, eta, g: ttt_backward.ttt_mlp_backward(
                 XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g, K, head_group=G
@@ -127,6 +128,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--which", default="all", choices=["attn", "ttt", "all"])
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--heads", type=int, default=16)
     args = p.parse_args()
 
     from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
@@ -138,7 +140,7 @@ def main():
     if args.which in ("attn", "all"):
         bench_attention(args.iters)
     if args.which in ("ttt", "all"):
-        bench_ttt(args.iters)
+        bench_ttt(args.iters, heads=args.heads)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+"""One-off sweep of splash-attention backward block configs at the flagship
+bench geometry (S=18432 padded, 48 heads, head_dim 64, bf16). Times fwd and
+fwd+bwd with scalar-readback fencing (see CLAUDE.md on the tunnel).
+
+Usage: python scripts/tune_splash_bwd.py [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def fence(x):
+    import jax.numpy as jnp
+
+    leaves = x if isinstance(x, (tuple, list)) else (x,)
+    return float(jnp.sum(leaves[0].astype(jnp.float32))[()])
+
+
+def timeit(fn, args, iters, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--heads", type=int, default=48)
+    p.add_argument("--seq", type=int, default=18432)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
+
+    from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    B, S, H, F = 1, args.seq, args.heads, 64
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, H, S, F)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    flops_fwd = 4 * S * S * H * F
+    flops_bwd = 10 * S * S * H * F
+
+    def build(tag, fused, bq, bkv, bkvc, bqd, bkvd, bkvdc, bqdq=None, bkvdq=None):
+        mask = mask_lib.MultiHeadMask([mask_lib.FullMask(_shape=(S, S)) for _ in range(H)])
+        bs = splash.BlockSizes(
+            block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
+            block_q_dkv=bqd, block_kv_dkv=bkvd, block_kv_dkv_compute=bkvdc,
+            block_q_dq=None if fused else (bqdq or bqd),
+            block_kv_dq=None if fused else (bkvdq or bkvdc),
+            use_fused_bwd_kernel=fused,
+        )
+        kern = splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
+
+        def f(q, k, v):
+            return jax.vmap(kern)(q, k, v)
+
+        def loss(q, k, v):
+            return jnp.sum(f(q, k, v).astype(jnp.float32) ** 2)
+
+        fwd = jax.jit(f)
+        bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        try:
+            t_f = timeit(fwd, (q, k, v), args.iters)
+            t_b = timeit(lambda *a: bwd(*a)[0], (q, k, v), max(args.iters // 2, 3))
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag:44s} FAILED: {str(e)[:120]}")
+            return
+        print(
+            f"{tag:44s} fwd {t_f*1e3:7.2f} ms ({flops_fwd/t_f/1e12:5.1f} TF/s)  "
+            f"fwd+bwd {t_b*1e3:7.2f} ms (bwd-only est {(t_b-t_f)*1e3:6.1f} ms, {flops_bwd/max(t_b-t_f,1e-9)/1e12:5.1f} TF/s)",
+            flush=True,
+        )
+
+    # Round 2: forward-block variants (fwd is ~68% of the K=64 ceiling) and
+    # larger q_dkv (q2048 beat q1024 by ~1.3% in round 1).
+    build("fwd q1024 kv3072 c512 | bwd q2048", True, 1024, 3072, 512, 2048, 1024, 512)
+    build("fwd q1024 kv2048 c1024 | bwd q2048", True, 1024, 2048, 1024, 2048, 1024, 512)
+    build("fwd q1024 kv2048 c512 | bwd q2048 kv2048", True, 1024, 2048, 512, 2048, 2048, 512)
+    build("fwd q1024 kv2048 c512 | bwd q3072", True, 1024, 2048, 512, 3072, 1024, 512)
+    build("fwd q1024 kv2048 c512 | bwd q2048 kv2048 c1024", True, 1024, 2048, 512, 2048, 2048, 1024)
+    build("fwd q512 kv2048 c512 | bwd q2048", True, 512, 2048, 512, 2048, 1024, 512)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,68 +81,70 @@ class _KVPadMask(_mask_lib.Mask):
         return hash((type(self), self._shape, self.valid))
 
 
+# Fused-backward kv block; also sets the dQ-partials slab count (see
+# _fused_bwd_ok).
+_BWD_BLOCK_KV = 2048
+
+
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, block: int, valid: int, fused_bwd: bool):
+def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
-    arrays across jit traces."""
+    arrays across jit traces.
+
+    Block sizes tuned on v5e at S=18432 / 48 heads / head_dim 64
+    (scripts/tune_splash_bwd.py): fwd q1024/kv2048/compute512 56.7 ms (vs
+    62.5 at kv1024); fused bwd q2048/kv2048/compute512 119.2 ms (vs 127.2 at
+    1024/1024) — fwd+bwd 175.9 ms vs 189.7. Each size is capped at S; callers
+    pad S to a multiple of _SPLASH_BLOCK so every block divides S.
+    kv_compute at 512 keeps the scores tile inside splash's fixed 16 MB
+    scoped-vmem stack, which full-block compute can exceed when surrounding
+    remat fusions share the budget (seen at 42 layers)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
 
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
-    # kv_compute at half the fetch block: slightly faster (62.6 vs 64.6 ms
-    # fwd+bwd at S=18048/16 heads) and keeps the scores tile inside splash's
-    # fixed 16 MB scoped-vmem stack, which block-1024 compute can exceed when
-    # surrounding remat fusions share the budget (seen at 42 layers).
-    kv_compute = min(block, 512)
+    cap = lambda b: min(b, S)
+    kv_compute = cap(512)
     bs = splash.BlockSizes(
-        block_q=block, block_kv=block, block_kv_compute=kv_compute,
-        block_q_dkv=block, block_kv_dkv=block, block_kv_dkv_compute=kv_compute,
-        block_q_dq=None if fused_bwd else block,
+        block_q=cap(1024), block_kv=cap(2048), block_kv_compute=kv_compute,
+        block_q_dkv=cap(2048), block_kv_dkv=cap(_BWD_BLOCK_KV), block_kv_dkv_compute=kv_compute,
+        block_q_dq=None if fused_bwd else cap(1024),
         block_kv_dq=None if fused_bwd else kv_compute,
         use_fused_bwd_kernel=fused_bwd,
     )
     return mask, bs
 
 
-def _fused_bwd_ok(batch: int, S: int, H: int, F: int, block: int) -> bool:
+def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
     """The fused splash backward materializes per-kv-block dQ partials
-    [batch, S/block, H, S, F]; cap that stack at ~2 GB (at 21 x 63 s windows
-    it reaches 13.3 GB and OOMs v5e). The separate-dq backward is ~23 %
-    slower on the attention bwd but O(batch * S * F) in memory."""
-    partials = batch * (S // block) * H * S * F * 2  # bf16
+    [batch, S/block_kv_dkv, H, S, F]; cap that stack at ~2 GB (at 21 x 63 s
+    windows it reaches multiple GB and OOMs v5e). The separate-dq backward is
+    ~25-34 % slower on the attention bwd (scripts/tune_splash_bwd.py) but
+    O(batch * S * F) in memory."""
+    partials = batch * (S // min(_BWD_BLOCK_KV, S)) * H * S * F * 2  # bf16
     return partials <= 2 * 1024**3
 
 
-def _splash_kernel(S: int, H: int, block: int, valid: int, fused_bwd: bool):
+def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, block, valid, fused_bwd)
+    mask, bs = _splash_spec(S, H, valid, fused_bwd)
     return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
 
 
-# Production block size, tuned on v5e at S=18048/18432 (scripts/microbench.py):
-# fwd+bwd 64.2 ms at block 1024 vs 99.6 ms at 384; 1536 exceeds splash's
-# 16 MB scoped-vmem stack for the fused backward.
-_SPLASH_BLOCK = 1024
+# Padding granularity: the lcm of the tuned q/kv block sizes in _splash_spec
+# (sequences are padded up to a multiple of this; at the 3 s geometry
+# 18048 -> 18432, a 2.1% overhead the KV-column mask hides exactly).
+_SPLASH_BLOCK = 2048
 
 
-def _splash_block(S: int):
-    for block in (_SPLASH_BLOCK, 512, 384, 256, 128):
-        if S % block == 0:
-            return block
-    return None
-
-
-def _splash(q, k, v, block: int | None = None):
-    """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16).
-
-    Measured v5e, S=18048, 16 heads: fwd 46 ms / fwd+bwd 109 ms vs the
-    chunked path's 105 ms fwd (block 384)."""
+def _splash(q, k, v):
+    """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16), S already
+    a multiple of the tuned block sizes (callers pad via _splash_padded)."""
     B, S, H, F = q.shape
-    block = block or _splash_block(S)
-    kernel = _splash_kernel(S, H, block, S, _fused_bwd_ok(B, S, H, F, block))
+    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
@@ -157,10 +159,10 @@ def _splash_padded(q, k, v, block: int):
     B, S, H, F = q.shape
     Sp = -(-S // block) * block
     if Sp == S:
-        return _splash(q, k, v, block=block)
+        return _splash(q, k, v)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    kernel = _splash_kernel(Sp, H, block, S, _fused_bwd_ok(B, Sp, H, F, block))
+    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
