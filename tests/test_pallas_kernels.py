@@ -108,3 +108,123 @@ def test_mlp_fused_bwd_grads_with_padded_nc(rng):
     go = jax.grad(lambda *a: jnp.sum(ttt_scan.ttt_mlp(*a, checkpoint_group_size=4) ** 2), argnums=argnums)(*args)
     for i, (a, b) in enumerate(zip(gk, go)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3, err_msg=f"argnum {i}")
+
+
+# ------------------------------------------------- fused in-kernel preproc
+
+
+def _tables(rng, L, stl, F, NC, CS):
+    from ttt_video_dit_tpu.ops.rope import interleaved_tables_prefixed, precompute_rope_3d
+
+    cos, sin = precompute_rope_3d(F, 4, 4, (L - stl) // 16 + 1)
+    cos_il, sin_il = interleaved_tables_prefixed(cos, sin, stl, L)
+    return (jnp.asarray(cos_il.reshape(NC, CS, F)), jnp.asarray(sin_il.reshape(NC, CS, F)),
+            cos, sin)
+
+
+def _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl):
+    """The layer's XLA-side preprocessing on mini-batched [B,H,NC,CS,F]."""
+    from ttt_video_dit_tpu.ops.rope import apply_rope_prefixed
+
+    b, h, nc, cs, f = XQr.shape
+    to_l = lambda x: x.reshape(b, h, nc * cs, f)
+    to_mb = lambda x: x.reshape(b, h, nc, cs, f)
+    l2n = lambda x: x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    XQp = to_mb(apply_rope_prefixed(to_l(l2n(XQr)), cos, sin, stl, seq_axis=2))
+    XKp = to_mb(apply_rope_prefixed(to_l(l2n(XKr)), cos, sin, stl, seq_axis=2))
+    x = XVr - XKp
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True) * (f / (f - 1))
+    xh = (x - mu) / (jnp.sqrt(var) + 1e-8)
+    XVp = lnw[None, :, None, None] * xh + lnb[None, :, None, None] + XKp
+    return XQp, XKp, XVp
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_fused_preproc_grads_match_composed_autodiff(rng, K):
+    """The in-kernel preproc (L2-norm + rope + LN-target) and its hand-derived
+    VJPs must match jax autodiff of the XLA preproc composed with the scan
+    oracle — for values and every gradient, including the NC-padded case
+    (K=4 pads NC 6->8 with eta=0 mini-batches)."""
+    args = _inputs(rng, mlp=True)
+    XQr, XKr, XVr, eta, lnw, lnb, W1, b1, W2, b2 = args
+    stl = 24
+    rope_cos, rope_sin, cos, sin = _tables(rng, NC * CS, stl, F, NC, CS)
+
+    def ref_loss(a):
+        XQp, XKp, XVp = _xla_preproc(a[0], a[1], a[2], a[4], a[5], cos, sin, stl)
+        out = ttt_scan.ttt_mlp(XQp, XKp, XVp, a[3], a[4], a[5], a[6], a[7], a[8], a[9], K)
+        return jnp.sum(out * out)
+
+    def pre_loss(a):
+        out = ttt_vjp.ttt_mlp_fused_pre(K, True, a[0], a[1], a[2], a[3], rope_cos, rope_sin,
+                                        a[4], a[5], a[6], a[7], a[8], a[9])
+        return jnp.sum(out * out)
+
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(tuple(args))
+    v_pre, g_pre = jax.value_and_grad(pre_loss)(tuple(args))
+    np.testing.assert_allclose(float(v_pre), float(v_ref), rtol=1e-5)
+    for a, b in zip(g_ref, g_pre):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=3e-5 * scale)
+
+
+def test_fused_preproc_linear_matches_composed_oracle(rng):
+    args = _inputs(rng, mlp=False)
+    XQr, XKr, XVr, eta, lnw, lnb, W1, b1 = args
+    stl = 16
+    rope_cos, rope_sin, cos, sin = _tables(rng, NC * CS, stl, F, NC, CS)
+
+    XQp, XKp, XVp = _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl)
+    out_ref = ttt_scan.ttt_linear(XQp, XKp, XVp, eta, lnw, lnb, W1, b1, 3)
+    out_pre = ttt_vjp.ttt_linear_fused_pre(3, True, XQr, XKr, XVr, eta, rope_cos, rope_sin,
+                                           lnw, lnb, W1, b1)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_layer_fused_preproc_matches_scan_path(rng, monkeypatch):
+    """Full TTTLayer wiring: fused in-kernel preproc (tables, interleave,
+    dispatch) must reproduce the XLA-preproc + scan-oracle path on a
+    multiscene geometry, values and gradients."""
+    import flax.linen  # noqa: F401  (ensures flax initialized)
+
+    from ttt_video_dit_tpu.config.model_config import ModelConfig
+    from ttt_video_dit_tpu.models.sequence import SequenceMetadata
+    from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
+    from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
+
+    meta = SequenceMetadata(
+        text_length=8, num_frames=7, num_chunks=3, tokens_per_frame=16,
+        latent_height=8, latent_width=8,
+    )
+    L = meta.seq_text_length + meta.num_video_tokens  # 3*8 + 7*16 = 136
+    cfg_kw = dict(
+        model_dim=64, num_heads=4, num_layers=1, ssm_layer="ttt_mlp",
+        mini_batch_size=8, latent_height=8, latent_width=8, text_dim=32,
+        time_embed_dim=32, scan_checkpoint_group_size=4, dtype="float32",
+    )
+    cfg_scan = ModelConfig(use_kernel=False, **cfg_kw)
+    cfg_pre = ModelConfig(use_kernel=True, fuse_ttt_preproc=True, **cfg_kw)
+    assert L % cfg_scan.mini_batch_size == 0
+
+    x = jnp.asarray(rng.standard_normal((2, L, 64)), jnp.float32)
+    layer = TTTLayer(cfg_scan)
+    params = layer.init(jax.random.PRNGKey(0), x, meta)
+
+    monkeypatch.setattr(ttt_mlp_kernel, "_FORCE_INTERPRET", True)
+    layer_pre = TTTLayer(cfg_pre)
+
+    def loss(mdl, p):
+        return jnp.sum(mdl.apply(p, x, meta) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(layer, p))(params)
+    v_pre, g_pre = jax.value_and_grad(lambda p: loss(layer_pre, p))(params)
+    np.testing.assert_allclose(float(v_pre), float(v_ref), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_pre)[0],
+    ):
+        assert str(ka) == str(kb)
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=5e-5 * scale,
+                                   err_msg=str(ka))

@@ -63,6 +63,10 @@ class ModelSection:
         default=True,
         metadata={"help": "Fused Pallas TTT backward kernels (vs XLA checkpoint-group recompute)"},
     )
+    fuse_ttt_preproc: bool = field(
+        default=True,
+        metadata={"help": "Fuse TTT preprocessing (L2-norm/rope/LN-target) into the Pallas kernels"},
+    )
     latent_height: Optional[int] = field(
         default=None, metadata={"help": "Override latent token-grid height (debug/smoke geometries)"}
     )

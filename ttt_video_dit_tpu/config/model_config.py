@@ -51,6 +51,11 @@ class ModelConfig:
     # Fused Pallas backward (ttt_backward.py) vs the hybrid XLA
     # checkpoint-group backward (ttt_vjp.py fallback); both parity-tested.
     use_fused_backward: bool = True
+    # Fuse the TTT preprocessing (L2-norm + rope + LN-reconstruction target,
+    # plus its backward) into the Pallas kernels instead of XLA elementwise
+    # passes (~100 ms/step of fusions + layout copies at the d3072 bench
+    # geometry). Requires use_kernel + use_fused_backward.
+    fuse_ttt_preproc: bool = True
 
     adapter_method: str = "none"  # none | sft | qkvo
 
@@ -143,6 +148,7 @@ class ModelConfig:
         self.mini_batch_size = job_config.model.mini_batch_size
         self.ttt_base_lr = job_config.model.ttt_base_lr
         self.use_fused_backward = job_config.model.use_fused_backward
+        self.fuse_ttt_preproc = job_config.model.fuse_ttt_preproc
         if job_config.model.latent_height is not None:
             self.latent_height = job_config.model.latent_height
         if job_config.model.latent_width is not None:

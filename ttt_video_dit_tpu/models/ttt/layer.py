@@ -21,7 +21,11 @@ from ttt_video_dit_tpu.config.model_config import ModelConfig
 from ttt_video_dit_tpu.models.sequence import SequenceMetadata
 from ttt_video_dit_tpu.models.ttt.interleave import interleave, undo_interleave
 from ttt_video_dit_tpu.ops import ttt_scan
-from ttt_video_dit_tpu.ops.rope import apply_rope_prefixed, precompute_rope_3d
+from ttt_video_dit_tpu.ops.rope import (
+    apply_rope_prefixed,
+    interleaved_tables_prefixed,
+    precompute_rope_3d,
+)
 from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
 
 _init_normal = nn.initializers.normal(stddev=0.02)
@@ -112,17 +116,29 @@ class TTTLayer(nn.Module):
         XK = self.wk(hidden_states).reshape(B, L, H, F)
         XV = self.wv(hidden_states).reshape(B, L, H, F)
 
-        # L2-normalize queries/keys over the head dim (torch F.normalize parity:
-        # x / max(||x||_2, 1e-12), reference: ttt/models/ssm/ttt_layer.py:265-266).
-        norm = lambda x: (x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)).astype(x.dtype)
-        XQ, XK = norm(XQ), norm(XK)
-
-        # 3D rope on video tokens only (global positions over the full video).
         cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.rope_theta)
-        rope = lambda x: apply_rope_prefixed(x, cos, sin, stl, seq_axis=1)
-        XQ, XK = rope(XQ), rope(XK)
 
-        XV = self._ln_reconstruction_target(XV, XK)
+        # Fused in-kernel preprocessing: the Pallas kernels apply L2-norm +
+        # rope + LN-reconstruction-target (and their backward) on the raw
+        # projections; outside-XLA preprocessing costs ~100 ms/step in
+        # elementwise passes + layout copies at the 3 s d3072 geometry.
+        fuse_pre = cfg.use_kernel and cfg.use_fused_backward and cfg.fuse_ttt_preproc
+        if fuse_pre:
+            from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel, ttt_mlp_kernel
+
+            mod = ttt_linear_kernel if cfg.ssm_layer == "ttt_linear" else ttt_mlp_kernel
+            fuse_pre = mod.is_supported((B, H, NC, CS, F))
+
+        if not fuse_pre:
+            # L2-normalize queries/keys over the head dim (torch F.normalize
+            # parity: x / max(||x||_2, 1e-12), reference:
+            # ttt/models/ssm/ttt_layer.py:265-266); 3D rope on video tokens
+            # only (global positions over the full video).
+            norm = lambda x: (x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)).astype(x.dtype)
+            XQ, XK = norm(XQ), norm(XK)
+            rope = lambda x: apply_rope_prefixed(x, cos, sin, stl, seq_axis=1)
+            XQ, XK = rope(XQ), rope(XK)
+            XV = self._ln_reconstruction_target(XV, XK)
 
         # [B, L, H, F] -> [B, H, NC, CS, F]
         to_mb = lambda x: jnp.moveaxis(x, 2, 1).reshape(B, H, NC, CS, F)
@@ -134,6 +150,17 @@ class TTTLayer(nn.Module):
             XQ, XK, XV = il(XQ), il(XK), il(XV)
             eta = interleave(eta.reshape(B, H, L, 1), meta).reshape(B, H, NC, CS)
 
+        rope_cos = rope_sin = None
+        if fuse_pre:
+            cos_il, sin_il = interleaved_tables_prefixed(cos, sin, stl, L)
+            tabs = (jnp.asarray(cos_il), jnp.asarray(sin_il))
+            if meta.is_multiscene:
+                # Tokens were interleaved pre-kernel; permute the tables the
+                # same way so in-kernel rope sees each token's own angles.
+                tabs = tuple(interleave(t, meta) for t in tabs)
+            rope_cos = tabs[0].reshape(NC, CS, F)
+            rope_sin = tabs[1].reshape(NC, CS, F)
+
         # Head sharding over the tensor axis (TP); batch over data axes.
         XQ, XK, XV = (maybe_shard(x, DATA, TENSOR, None, None, None) for x in (XQ, XK, XV))
         eta = maybe_shard(eta, DATA, TENSOR, None, None)
@@ -142,9 +169,9 @@ class TTTLayer(nn.Module):
         tile = lambda p: jnp.broadcast_to(p[None], (B,) + p.shape)
 
         if cfg.ssm_layer == "ttt_linear":
-            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group)
+            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin)
         else:
-            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group)
+            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin)
 
         # [B, H, NC, CS, F] -> [B, L, H*F]
         out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
@@ -155,7 +182,7 @@ class TTTLayer(nn.Module):
             out = undo_interleave(out, meta)
         return out
 
-    def _ttt_linear(self, XQ, XK, XV, eta, tile, group):
+    def _ttt_linear(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel
 
@@ -164,12 +191,14 @@ class TTTLayer(nn.Module):
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), group,
                     use_fused_bwd=self.config.use_fused_backward,
+                    rope_cos=rope_cos, rope_sin=rope_sin,
                 )
+        assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_linear(
             XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias, tile(self.W1), tile(self.b1), group
         )
 
-    def _ttt_mlp(self, XQ, XK, XV, eta, tile, group):
+    def _ttt_mlp(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
 
@@ -178,7 +207,9 @@ class TTTLayer(nn.Module):
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
                     use_fused_bwd=self.config.use_fused_backward,
+                    rope_cos=rope_cos, rope_sin=rope_sin,
                 )
+        assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_mlp(
             XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
             tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,

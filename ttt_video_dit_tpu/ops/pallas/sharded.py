@@ -26,18 +26,20 @@ def _axis_if(mesh: Mesh, name: str, dim_size: int) -> Optional[str]:
     return None
 
 
-def shard_mapped_ttt(kernel_fn: Callable, n_states: int):
+def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0):
     """Wrap a TTT kernel call ``kernel_fn(XQ, XK, XV, eta, ln_w, ln_b,
-    *states)`` in shard_map over the ambient mesh (no-op without one).
+    *states, *tables)`` in shard_map over the ambient mesh (no-op without
+    one).
 
     Batch shards over (replica, fsdp); heads over tensor. States are tiled
-    per-batch [B, H, ...]; ln params are [H, F].
+    per-batch [B, H, ...]; ln params are [H, F]; rope tables ([NC, CS, F],
+    fused-preproc mode) are batch/head-independent and ride replicated.
     """
 
-    def call(XQ, XK, XV, eta, ln_w, ln_b, *states):
+    def call(XQ, XK, XV, eta, ln_w, ln_b, *rest):
         mesh = current_mesh()
         if mesh is None or all(mesh.shape[a] <= 1 for a in mesh.axis_names):
-            return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *states)
+            return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *rest)
 
         B, H = XQ.shape[0], XQ.shape[1]
         data = tuple(a for a in (REPLICA, FSDP) if _axis_if(mesh, a, B)) or None
@@ -51,20 +53,22 @@ def shard_mapped_ttt(kernel_fn: Callable, n_states: int):
         tp = _axis_if(mesh, TENSOR, H)
 
         if data is None and tp is None:
-            return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *states)
+            return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *rest)
 
         x_spec = P(data, tp, None, None, None)
         eta_spec = P(data, tp, None, None)
         ln_spec = P(tp, None)
         state_spec = P(data, tp, None, None)
+        table_spec = P(None, None, None)
 
         fn = jax.shard_map(
             kernel_fn,
             mesh=mesh,
-            in_specs=(x_spec, x_spec, x_spec, eta_spec, ln_spec, ln_spec) + (state_spec,) * n_states,
+            in_specs=(x_spec, x_spec, x_spec, eta_spec, ln_spec, ln_spec)
+            + (state_spec,) * n_states + (table_spec,) * n_tables,
             out_specs=x_spec,
             check_vma=False,
         )
-        return fn(XQ, XK, XV, eta, ln_w, ln_b, *states)
+        return fn(XQ, XK, XV, eta, ln_w, ln_b, *rest)
 
     return call

@@ -23,7 +23,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh
-from ttt_video_dit_tpu.ops.pallas.ttt_forward import _bmm
+from ttt_video_dit_tpu.ops.pallas.ttt_forward import (
+    _bmm,
+    _l2norm_f32,
+    _rope_f32,
+    _rot_matrix,
+    _target_ln_f32,
+)
 
 
 def gelu_bwd2(x):
@@ -92,16 +98,63 @@ def _rowsum_rep(x, ones_cs):
     return _bmm(ones_cs, x)
 
 
+# ------------------------------------------------- fused-preproc VJP helpers
+# (counterparts of ttt_forward._fused_preproc; validated against jax autodiff
+# of the XLA-side preprocessing in tests/test_pallas_kernels.py)
+
+
+def _target_ln_vjp(t_hat, s, lnw, u, eps: float = 1e-8):
+    """VJP of target = lnw * t_hat + lnb w.r.t. t, for the unbiased-variance
+    LN with eps added to the *std* (s = sqrt(var) + eps):
+    dt_j = (g_j - mean(g))/s - t_hat_j * sum(g*t_hat) / ((n-1) * sqrt(var)),
+    g = lnw * u. Returns (dt, dlnw_rows, dlnb_rows). The sqrt(var) guard
+    makes zero-variance (eta=0 padded) rows produce zeros, not NaNs."""
+    n = t_hat.shape[-1]
+    g = lnw * u
+    sqrtv = jnp.maximum(s - eps, 1e-20)
+    dt = (g - jnp.mean(g, axis=-1, keepdims=True)) / s - t_hat * (
+        jnp.sum(g * t_hat, axis=-1, keepdims=True) / ((n - 1) * sqrtv)
+    )
+    return dt, u * t_hat, u
+
+
+def _l2norm_vjp(x_raw, u, eps: float = 1e-12):
+    """VJP of y = x / max(||x||, eps)."""
+    nrm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    m = jnp.maximum(nrm, eps)
+    proj = jnp.sum(u * x_raw, axis=-1, keepdims=True)
+    corr = jnp.where(nrm > eps, proj / (m * m * jnp.maximum(nrm, 1e-20)), 0.0)
+    return u / m - x_raw * corr
+
+
+def _rope_vjp(u, cos, sin, R):
+    """VJP of rope (out = x*cos + (x@R)*sin): dx = u*cos - (u@R)*sin, since
+    R^T = -R for the pair-swap matrix."""
+    G, CS, F = u.shape
+    ur = jax.lax.dot_general(
+        u.reshape(G * CS, F), R, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(u.shape)
+    return u * cos - ur * sin
+
+
 # ------------------------------------------------------------------ MLP bwd
 
 
-def _mlp_bwd_kernel(K: int, NG: int,
-                    xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
-                    w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
-                    dxq_ref, dxk_ref, dxv_ref, deta_ref,
-                    dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref,
-                    w1_stash, b1_stash, w2_stash, b2_stash,
-                    dw1_c, db1_c, dw2_c, db2_c, dlnw_acc, dlnb_acc):
+def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
+    if pre:
+        (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
+         w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
+         dxq_ref, dxk_ref, dxv_ref, deta_ref,
+         dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref,
+         w1_stash, b1_stash, w2_stash, b2_stash,
+         dw1_c, db1_c, dw2_c, db2_c, dlnw_acc, dlnb_acc) = refs
+    else:
+        (xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+         w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
+         dxq_ref, dxk_ref, dxv_ref, deta_ref,
+         dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref,
+         w1_stash, b1_stash, w2_stash, b2_stash,
+         dw1_c, db1_c, dw2_c, db2_c, dlnw_acc, dlnb_acc) = refs
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -118,6 +171,25 @@ def _mlp_bwd_kernel(K: int, NG: int,
     G_heads, CS, F = lnw.shape
     dt = xq_ref.dtype
     ones_cs = jnp.ones((G_heads, CS, CS), dt)
+    R = _rot_matrix(F) if pre else None
+
+    def load_step(i, need_q: bool):
+        """Per-step (XQ, XK [dt], target f32) plus preproc residuals for the
+        fused-preproc VJP (None when preproc runs outside the kernel)."""
+        XV = xv_ref[0, :, i]
+        if not pre:
+            XQ = xq_ref[0, :, i] if need_q else None
+            XK = xk_ref[0, :, i]
+            return XQ, XK, (XV - XK).astype(jnp.float32), None
+        cos_i, sin_i = cos_ref[i], sin_ref[i]
+        xq_raw = xq_ref[0, :, i].astype(jnp.float32) if need_q else None
+        xk_raw = xk_ref[0, :, i].astype(jnp.float32)
+        XKf = _rope_f32(_l2norm_f32(xk_raw), cos_i, sin_i, R)
+        target, t_hat, s_t = _target_ln_f32(XV.astype(jnp.float32) - XKf, lnw, lnb)
+        XQ = None
+        if need_q:
+            XQ = _rope_f32(_l2norm_f32(xq_raw), cos_i, sin_i, R).astype(dt)
+        return XQ, XKf.astype(dt), target, (xq_raw, xk_raw, t_hat, s_t, cos_i, sin_i)
 
     # ---- Pass A: recompute forward through the group, stashing states.
     # W stashes are stored in the input dtype (bf16 in production): pass B
@@ -131,16 +203,13 @@ def _mlp_bwd_kernel(K: int, NG: int,
         w2_stash[i] = W2.astype(w2_stash.dtype)
         b2_stash[i] = b2[:, 0:8] * 0.125
 
-        XQ = xq_ref[0, :, i]
-        XK = xk_ref[0, :, i]
-        XV = xv_ref[0, :, i]
+        _, XK, target, _ = load_step(i, need_q=False)
         eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         X2 = gelu_tanh(Z1)
         X2c = X2.astype(dt)
         Z2 = _bmm(X2c, W2.astype(dt)) + b2
-        target = (XV - XK).astype(jnp.float32)
         z2_hat, std2 = _ln_stats(Z2)
         grad_z2 = _ln_fused_l2(z2_hat, std2, target, lnw, lnb)
         grad_z1 = _bmm(grad_z2.astype(dt), W2.astype(dt), transpose_b=True) * gelu_bwd(Z1)
@@ -169,9 +238,7 @@ def _mlp_bwd_kernel(K: int, NG: int,
         W2 = w2_stash[j]
         b2 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b2_stash[j])
 
-        XQ = xq_ref[0, :, j]
-        XK = xk_ref[0, :, j]
-        XV = xv_ref[0, :, j]
+        XQ, XK, target, pre_res = load_step(j, need_q=True)
         eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
@@ -181,7 +248,6 @@ def _mlp_bwd_kernel(K: int, NG: int,
         X2 = gelu_tanh(Z1)
         X2c = X2.astype(dt)
         Z2 = _bmm(X2c, W2.astype(dt)) + b2
-        target = (XV - XK).astype(jnp.float32)
         z2_hat, std2 = _ln_stats(Z2)
         g2 = _ln_fused_l2(z2_hat, std2, target, lnw, lnb)
         P = _bmm(g2.astype(dt), W2.astype(dt), transpose_b=True)
@@ -265,9 +331,19 @@ def _mlp_bwd_kernel(K: int, NG: int,
         dW2 = dW2 + _bmm(X2c, dZ2c, transpose_a=True)
         db2_new = db2_tot + _rowsum_rep(dZ2, ones_cs)
 
-        # (12) target = XV - XK
-        dXV = dtarget
-        dXK = dXK - dtarget
+        # (12) target chain: outside-preproc target = XV - XK directly;
+        # fused preproc chains through the LN-reconstruction normalization
+        # (target = lnw * t_hat + lnb, t = XV - XK_roped).
+        if pre:
+            _, _, t_hat, s_t, _, _ = pre_res
+            dtv, dgw_t, dgb_t = _target_ln_vjp(t_hat, s_t, lnw, dtarget)
+            dlnw_acc[:] = dlnw_acc[:] + dgw_t
+            dlnb_acc[:] = dlnb_acc[:] + dgb_t
+            dXV = dtv
+            dXK = dXK - dtv
+        else:
+            dXV = dtarget
+            dXK = dXK - dtarget
 
         # (13) X2 = gelu(Z1)
         dZ1 = dZ1 + phi * dX2
@@ -277,6 +353,13 @@ def _mlp_bwd_kernel(K: int, NG: int,
         dXK = dXK + _bmm(dZ1c, W1.astype(dt), transpose_b=True)
         dW1 = dW1 + _bmm(XK, dZ1c, transpose_a=True)
         db1_new = db1_tot + _rowsum_rep(dZ1, ones_cs)
+
+        # (15) fused preproc: chain dXQ/dXK through rope then the L2 norm
+        # back to the raw projections.
+        if pre:
+            xq_raw, xk_raw, _, _, cos_j, sin_j = pre_res
+            dXQ = _l2norm_vjp(xq_raw, _rope_vjp(dXQ, cos_j, sin_j, R))
+            dXK = _l2norm_vjp(xk_raw, _rope_vjp(dXK, cos_j, sin_j, R))
 
         # Store outputs and carries.
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
@@ -304,13 +387,21 @@ def _mlp_bwd_kernel(K: int, NG: int,
 # ---------------------------------------------------------------- linear bwd
 
 
-def _linear_bwd_kernel(K: int, NG: int,
-                       xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
-                       w1ck_ref, b1ck_ref, dout_ref,
-                       dxq_ref, dxk_ref, dxv_ref, deta_ref,
-                       dw1_ref, db1_ref, dlnw_ref, dlnb_ref,
-                       w1_stash, b1_stash,
-                       dw1_c, db1_c, dlnw_acc, dlnb_acc):
+def _linear_bwd_kernel(K: int, NG: int, pre: bool, *refs):
+    if pre:
+        (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
+         w1ck_ref, b1ck_ref, dout_ref,
+         dxq_ref, dxk_ref, dxv_ref, deta_ref,
+         dw1_ref, db1_ref, dlnw_ref, dlnb_ref,
+         w1_stash, b1_stash,
+         dw1_c, db1_c, dlnw_acc, dlnb_acc) = refs
+    else:
+        (xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+         w1ck_ref, b1ck_ref, dout_ref,
+         dxq_ref, dxk_ref, dxv_ref, deta_ref,
+         dw1_ref, db1_ref, dlnw_ref, dlnb_ref,
+         w1_stash, b1_stash,
+         dw1_c, db1_c, dlnw_acc, dlnb_acc) = refs
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -325,19 +416,33 @@ def _linear_bwd_kernel(K: int, NG: int,
     G_heads, CS, F = lnw.shape
     dt = xq_ref.dtype
     ones_cs = jnp.ones((G_heads, CS, CS), dt)
+    R = _rot_matrix(F) if pre else None
+
+    def load_step(i, need_q: bool):
+        XV = xv_ref[0, :, i]
+        if not pre:
+            XQ = xq_ref[0, :, i] if need_q else None
+            XK = xk_ref[0, :, i]
+            return XQ, XK, (XV - XK).astype(jnp.float32), None
+        cos_i, sin_i = cos_ref[i], sin_ref[i]
+        xq_raw = xq_ref[0, :, i].astype(jnp.float32) if need_q else None
+        xk_raw = xk_ref[0, :, i].astype(jnp.float32)
+        XKf = _rope_f32(_l2norm_f32(xk_raw), cos_i, sin_i, R)
+        target, t_hat, s_t = _target_ln_f32(XV.astype(jnp.float32) - XKf, lnw, lnb)
+        XQ = None
+        if need_q:
+            XQ = _rope_f32(_l2norm_f32(xq_raw), cos_i, sin_i, R).astype(dt)
+        return XQ, XKf.astype(dt), target, (xq_raw, xk_raw, t_hat, s_t, cos_i, sin_i)
 
     def fwd_body(i, state):
         W1, b1 = state
         w1_stash[i] = W1.astype(w1_stash.dtype)  # bf16 stash; see MLP kernel note
         b1_stash[i] = b1[:, 0:8] * 0.125
 
-        XQ = xq_ref[0, :, i]
-        XK = xk_ref[0, :, i]
-        XV = xv_ref[0, :, i]
+        _, XK, target, _ = load_step(i, need_q=False)
         eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
-        target = (XV - XK).astype(jnp.float32)
         z1_hat, std1 = _ln_stats(Z1)
         grad = _ln_fused_l2(z1_hat, std1, target, lnw, lnb)
         Gs = (eta * grad).astype(dt)
@@ -353,14 +458,11 @@ def _linear_bwd_kernel(K: int, NG: int,
         W1 = w1_stash[j]
         b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
 
-        XQ = xq_ref[0, :, j]
-        XK = xk_ref[0, :, j]
-        XV = xv_ref[0, :, j]
+        XQ, XK, target, pre_res = load_step(j, need_q=True)
         eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
-        target = (XV - XK).astype(jnp.float32)
         z1_hat, std1 = _ln_stats(Z1)
         g1 = _ln_fused_l2(z1_hat, std1, target, lnw, lnb)
         Gs = (eta * g1).astype(dt)
@@ -401,14 +503,27 @@ def _linear_bwd_kernel(K: int, NG: int,
         dlnw_acc[:] = dlnw_acc[:] + dgw2
         dlnb_acc[:] = dlnb_acc[:] + dgb2
 
-        dXV = dtarget
-        dXK = dXK - dtarget
+        if pre:
+            _, _, t_hat, s_t, _, _ = pre_res
+            dtv, dgw_t, dgb_t = _target_ln_vjp(t_hat, s_t, lnw, dtarget)
+            dlnw_acc[:] = dlnw_acc[:] + dgw_t
+            dlnb_acc[:] = dlnb_acc[:] + dgb_t
+            dXV = dtv
+            dXK = dXK - dtv
+        else:
+            dXV = dtarget
+            dXK = dXK - dtarget
 
         # Z1 = XK@W1 + b1
         dZ1c = dZ1.astype(dt)
         dXK = dXK + _bmm(dZ1c, W1.astype(dt), transpose_b=True)
         dW1 = dW1 + _bmm(XK, dZ1c, transpose_a=True)
         db1_new = db1_tot + _rowsum_rep(dZ1, ones_cs)
+
+        if pre:
+            xq_raw, xk_raw, _, _, cos_j, sin_j = pre_res
+            dXQ = _l2norm_vjp(xq_raw, _rope_vjp(dXQ, cos_j, sin_j, R))
+            dXK = _l2norm_vjp(xk_raw, _rope_vjp(dXK, cos_j, sin_j, R))
 
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
         dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
@@ -428,7 +543,7 @@ def _linear_bwd_kernel(K: int, NG: int,
 
 def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
                         checkpoint_group_size: int, interpret: bool = False,
-                        head_group: int | None = None):
+                        head_group: int | None = None, rope_cos=None, rope_sin=None):
     """Fused TTT-linear backward; see ttt_mlp_backward for conventions."""
     B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
@@ -448,11 +563,15 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
     out_state = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
     out_ln = pl.BlockSpec((1, G, CS, F), state_map, memory_space=pltpu.VMEM)
+    pre = rope_cos is not None
+    rope_spec = pl.BlockSpec((K, CS, F), lambda i, n: (NG - 1 - n, 0, 0), memory_space=pltpu.VMEM)
+    rope_in = [rope_cos, rope_sin] if pre else []
+    rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_linear_bwd_kernel, K, NG),
+        functools.partial(_linear_bwd_kernel, K, NG, pre),
         grid=(B * HG, NG),
-        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F), ck_spec(8, F), x_spec(F)],
         out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
                    out_state(F, F), out_state(CS, F), out_ln, out_ln),
@@ -477,7 +596,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, g,
@@ -509,7 +628,7 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
 
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                      checkpoint_group_size: int, interpret: bool = False,
-                     head_group: int | None = None):
+                     head_group: int | None = None, rope_cos=None, rope_sin=None):
     """Fused backward. Inputs are the (already eta=0-padded to NC % K == 0)
     tensors plus the forward kernel's state checkpoints (b ckpts row-replicated
     [B,H,NG,CS,F']) and the output cotangent ``g``.
@@ -537,11 +656,15 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
     out_state = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
     out_ln = pl.BlockSpec((1, G, CS, F), state_map, memory_space=pltpu.VMEM)
+    pre = rope_cos is not None
+    rope_spec = pl.BlockSpec((K, CS, F), lambda i, n: (NG - 1 - n, 0, 0), memory_space=pltpu.VMEM)
+    rope_in = [rope_cos, rope_sin] if pre else []
+    rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, K, NG),
+        functools.partial(_mlp_bwd_kernel, K, NG, pre),
         grid=(B * HG, NG),
-        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),
                   x_spec(F)],
         out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
@@ -576,7 +699,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, w2_ck, b2_ck, g,

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh, ln_fused_l2_bwd, ln_fwd
+from ttt_video_dit_tpu.ops.rope import _pair_rotation_matrix
 
 
 def _bmm(a, b, *, transpose_b: bool = False, transpose_a: bool = False):
@@ -55,6 +56,64 @@ def _bmm(a, b, *, transpose_b: bool = False, transpose_a: bool = False):
 def _rowsum_replicated(x, ones_cs):
     """ones[CS,CS] @ x: every row = column sums of x. [G,CS,F] -> [G,CS,F]."""
     return _bmm(ones_cs, x)
+
+
+# --------------------------------------------------------- in-kernel preproc
+# Fused TTT preprocessing (L2-norm + rope on q/k, LN-reconstruction target on
+# v) inside the scan kernels. Outside, these ops plus their autodiff cost
+# ~100 ms/step of XLA elementwise passes and layout copies at the d3072 bench
+# geometry; in-kernel they ride on data already resident in VMEM and the
+# backward recomputes them per step. All math in f32, matching the XLA-side
+# formulation (layer.py _ln_reconstruction_target / norm / apply_rope).
+
+
+def _l2norm_f32(x, eps: float = 1e-12):
+    """torch F.normalize parity: x / max(||x||_2, eps), rowwise over F."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def _rope_f32(x, cos, sin, R):
+    """Interleaved-pair rotation via the constant pair-swap matmul
+    (ops/rope.py apply_rope): out = x*cos + (x @ R)*sin. cos/sin: [CS, F]."""
+    G, CS, F = x.shape
+    xr = jax.lax.dot_general(
+        x.reshape(G * CS, F), R, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(G, CS, F)
+    return x * cos + xr * sin
+
+
+def _target_ln_f32(t, lnw, lnb, eps: float = 1e-8):
+    """LN-reconstruction normalization: *unbiased* std with eps added to the
+    std (not the var), matching reference ttt/models/ssm/ttt_layer.py:219-235.
+    Returns (target, t_hat, s)."""
+    n = t.shape[-1]
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.var(t, axis=-1, keepdims=True) * (n / max(n - 1, 1))
+    s = jnp.sqrt(var) + eps
+    t_hat = (t - mu) / s
+    return lnw * t_hat + lnb, t_hat, s
+
+
+def _rot_matrix(F):
+    """The ops/rope.py pair-swap matrix built with iota (Pallas kernels may
+    not capture host constants as closures): (x@R)[2i] = -x[2i+1],
+    (x@R)[2i+1] = x[2i]."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+    plus = ((j == i + 1) & (i % 2 == 0)).astype(jnp.float32)
+    minus = ((j == i - 1) & (i % 2 == 1)).astype(jnp.float32)
+    return plus - minus
+
+
+def _fused_preproc(xq_raw, xk_raw, xv_raw, cos, sin, lnw, lnb):
+    """Raw projections -> (XQ, XK, target), all f32 [G, CS, F]."""
+    F = xq_raw.shape[-1]
+    R = _rot_matrix(F)
+    XQ = _rope_f32(_l2norm_f32(xq_raw), cos, sin, R)
+    XK = _rope_f32(_l2norm_f32(xk_raw), cos, sin, R)
+    target, _, _ = _target_ln_f32(xv_raw - XK, lnw, lnb)
+    return XQ, XK, target
 
 
 def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
@@ -79,8 +138,13 @@ def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
     return g
 
 
-def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
-                   out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr):
+def _linear_kernel(K: int, pre: bool, *refs):
+    if pre:
+        (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+         out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr) = refs
+    else:
+        (xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+         out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr) = refs
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -95,21 +159,29 @@ def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1
         # ones[CS,8] matmul reconstructs b exactly (1/8 the HBM of CS rows).
         b1_ckpt_ref[0, :, 0] = b_scr[:, 0:8] * 0.125
 
-    XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
-    XK = xk_ref[0, :, 0]
-    XV = xv_ref[0, :, 0]
     eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F] row-replicated
     lnb = lnb_ref[:].astype(jnp.float32)
+    dt = xq_ref.dtype
 
-    dt = XQ.dtype
+    if pre:
+        XQf, XKf, target = _fused_preproc(
+            xq_ref[0, :, 0].astype(jnp.float32), xk_ref[0, :, 0].astype(jnp.float32),
+            xv_ref[0, :, 0].astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
+        )
+        XQ, XK = XQf.astype(dt), XKf.astype(dt)
+    else:
+        XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
+        XK = xk_ref[0, :, 0]
+        XV = xv_ref[0, :, 0]
+        target = (XV - XK).astype(jnp.float32)
+
     W = w_scr[:]  # [G, F, F] fp32
     b = b_scr[:]  # [G, CS, F] fp32 (rows identical)
     G_heads, CS, _ = XQ.shape
     ones_cs = jnp.ones((G_heads, CS, CS), dt)
 
     Z1 = _bmm(XK, W.astype(dt)) + b
-    target = (XV - XK).astype(jnp.float32)
     grad = ln_fused_l2_bwd(Z1, target, lnw, lnb)
     Gs = (eta * grad).astype(dt)  # eta-scaled gradient [G, CS, F]
 
@@ -125,10 +197,17 @@ def _linear_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1
     b_scr[:] = b_new
 
 
-def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
-                w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, w1_ckpt_ref, b1_ckpt_ref, w2_ckpt_ref, b2_ckpt_ref,
-                w1_scr, b1_scr, w2_scr, b2_scr):
+def _mlp_kernel(K: int, pre: bool, *refs):
+    if pre:
+        (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref, w1_ckpt_ref, b1_ckpt_ref, w2_ckpt_ref, b2_ckpt_ref,
+         w1_scr, b1_scr, w2_scr, b2_scr) = refs
+    else:
+        (xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref, w1_ckpt_ref, b1_ckpt_ref, w2_ckpt_ref, b2_ckpt_ref,
+         w1_scr, b1_scr, w2_scr, b2_scr) = refs
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -146,14 +225,23 @@ def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
         w2_ckpt_ref[0, :, 0] = w2_scr[:]
         b2_ckpt_ref[0, :, 0] = b2_scr[:, 0:8] * 0.125
 
-    XQ = xq_ref[0, :, 0]  # [G, CS, F]
-    XK = xk_ref[0, :, 0]
-    XV = xv_ref[0, :, 0]
     eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F]
     lnb = lnb_ref[:].astype(jnp.float32)
+    dt = xq_ref.dtype
 
-    dt = XQ.dtype
+    if pre:
+        XQf, XKf, target = _fused_preproc(
+            xq_ref[0, :, 0].astype(jnp.float32), xk_ref[0, :, 0].astype(jnp.float32),
+            xv_ref[0, :, 0].astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
+        )
+        XQ, XK = XQf.astype(dt), XKf.astype(dt)
+    else:
+        XQ = xq_ref[0, :, 0]  # [G, CS, F]
+        XK = xk_ref[0, :, 0]
+        XV = xv_ref[0, :, 0]
+        target = (XV - XK).astype(jnp.float32)
+
     W1, b1 = w1_scr[:], b1_scr[:]  # [G, F, 4F], [G, CS, 4F]
     W2, b2 = w2_scr[:], b2_scr[:]  # [G, 4F, F], [G, CS, F]
     G_heads, CS, _ = XQ.shape
@@ -163,7 +251,6 @@ def _mlp_kernel(K: int, xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref,
     X2 = gelu_tanh(Z1)  # fp32 [G, CS, 4F]
     X2c = X2.astype(dt)
     Z2 = _bmm(X2c, W2.astype(dt)) + b2
-    target = (XV - XK).astype(jnp.float32)
 
     grad_z2 = ln_fused_l2_bwd(Z2, target, lnw, lnb)
     grad_z1 = _bmm(grad_z2.astype(dt), W2.astype(dt), transpose_b=True) * gelu_bwd(Z1)
@@ -209,7 +296,10 @@ def _specs(H, G, CS, F, K):
     state_spec = lambda d0, d1: pl.BlockSpec((1, G, d0, d1), state_map, memory_space=pltpu.VMEM)
     ckpt_map = lambda i, n: (i // HG, i % HG, n // K, 0, 0)
     ckpt_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), ckpt_map, memory_space=pltpu.VMEM)
-    return x_spec, eta_spec, ln_spec, state_spec, ckpt_spec
+    # rope tables [NC, CS, F] f32, one mini-batch row per grid step (fused
+    # preproc only); head/batch-independent.
+    rope_spec = pl.BlockSpec((1, CS, F), lambda i, n: (n, 0, 0), memory_space=pltpu.VMEM)
+    return x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec
 
 
 def _replicate_rows(x, CS):
@@ -218,8 +308,13 @@ def _replicate_rows(x, CS):
 
 
 def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int,
-                       interpret: bool = False, head_group: int | None = None):
+                       interpret: bool = False, head_group: int | None = None,
+                       rope_cos=None, rope_sin=None):
     """XQ/XK/XV: [B,H,NC,CS,F]; eta: [B,H,NC,CS]; W1: [B,H,F,F]; b1: [B,H,1,F].
+
+    With ``rope_cos``/``rope_sin`` ([NC, CS, F] f32 interleaved tables), the
+    inputs are the RAW projections and the kernel applies L2-norm + rope +
+    LN-reconstruction-target internally (fused preproc).
 
     Returns (XQW [B,H,NC,CS,F], W1_ckpts [B,H,NG,F,F], b1_ckpts [B,H,NG,1,F]).
     """
@@ -227,12 +322,15 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)
     G = head_group or pick_head_group(H, F, mlp=False)
-    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec = _specs(H, G, CS, F, K)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K)
+    pre = rope_cos is not None
+    rope_in = [rope_cos, rope_sin] if pre else []
+    rope_specs = [rope_spec, rope_spec] if pre else []
 
     out, w_ckpt, b_ckpt = pl.pallas_call(
-        functools.partial(_linear_kernel, K),
+        functools.partial(_linear_kernel, K, pre),
         grid=(B * (H // G), NC),
-        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F), state_spec(CS, F)],
         out_specs=(x_spec(F), ckpt_spec(F, F), ckpt_spec(8, F)),
         out_shape=(
@@ -247,7 +345,7 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
     )
@@ -257,19 +355,23 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
 
 
 def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int,
-                    interpret: bool = False, head_group: int | None = None):
+                    interpret: bool = False, head_group: int | None = None,
+                    rope_cos=None, rope_sin=None):
     """Same layout as ttt_linear_forward with W1 [B,H,F,4F], W2 [B,H,4F,F]."""
     B, H, NC, CS, F = XQ.shape
     F4 = W1.shape[-1]
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)
     G = head_group or pick_head_group(H, F, mlp=True)
-    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec = _specs(H, G, CS, F, K)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K)
+    pre = rope_cos is not None
+    rope_in = [rope_cos, rope_sin] if pre else []
+    rope_specs = [rope_spec, rope_spec] if pre else []
 
     out, w1_ck, b1_ck, w2_ck, b2_ck = pl.pallas_call(
-        functools.partial(_mlp_kernel, K),
+        functools.partial(_mlp_kernel, K, pre),
         grid=(B * (H // G), NC),
-        in_specs=[x_spec(F), x_spec(F), x_spec(F), eta_spec, ln_spec, ln_spec,
+        in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F4), state_spec(CS, F4), state_spec(F4, F), state_spec(CS, F)],
         out_specs=(x_spec(F), ckpt_spec(F, F4), ckpt_spec(8, F4), ckpt_spec(F4, F), ckpt_spec(8, F)),
         out_shape=(
@@ -288,7 +390,7 @@ def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_grou
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
         _replicate_rows(ln_w[:, None, :], CS), _replicate_rows(ln_b[:, None, :], CS),
         W1.astype(jnp.float32), _replicate_rows(b1.astype(jnp.float32), CS),
         W2.astype(jnp.float32), _replicate_rows(b2.astype(jnp.float32), CS),

@@ -218,3 +218,119 @@ def _mlp_bwd(K, interpret, fused, res, g):
 
 
 ttt_mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ----------------------------------------------- fused-preproc variants
+# The kernel applies L2-norm + rope + LN-reconstruction-target internally
+# (ttt_forward._fused_preproc); inputs are the RAW q/k/v projections plus
+# interleaved rope tables [NC, CS, F]. Only the fully-fused Pallas backward
+# supports this mode (the XLA-recompute fallback consumes post-preproc
+# tensors). Table cotangents are zero (rope tables are positional constants).
+
+
+def _pad_tab(t, pad):
+    if pad == 0:
+        return t
+    return jnp.pad(t, ((0, pad), (0, 0), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ttt_linear_fused_pre(K: int, interpret: bool, XQ, XK, XV, eta, rope_cos, rope_sin,
+                         ln_w, ln_b, W1, b1):
+    out, _, _ = _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, rope_cos, rope_sin,
+                                       ln_w, ln_b, W1, b1)
+    return out
+
+
+def _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
+    NC = XQ.shape[2]
+    pad = (-NC) % K
+    out, w_ck, b_ck = ttt_forward.ttt_linear_forward(
+        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+        ln_w, ln_b, W1, b1, K, interpret=interpret,
+        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+    )
+    return out[:, :, :NC], w_ck, b_ck
+
+
+def _linear_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
+    out, w_ck, b_ck = _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1)
+    return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck)
+
+
+def _linear_bwd_pre(K, interpret, res, g):
+    from ttt_video_dit_tpu.ops.pallas import ttt_backward
+
+    XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck = res
+    NC = XQ.shape[2]
+    pad = (-NC) % K
+
+    dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
+        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+        ln_w, ln_b, w_ck, b_ck, _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
+        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+    )
+    sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+    return (
+        sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
+        jnp.zeros_like(cos), jnp.zeros_like(sin),
+        jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
+        jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
+        dW1, db1[:, :, 0:1, :],
+    )
+
+
+ttt_linear_fused_pre.defvjp(_linear_fwd_pre, _linear_bwd_pre)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ttt_mlp_fused_pre(K: int, interpret: bool, XQ, XK, XV, eta, rope_cos, rope_sin,
+                      ln_w, ln_b, W1, b1, W2, b2):
+    out, *_ = _mlp_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, rope_cos, rope_sin,
+                                  ln_w, ln_b, W1, b1, W2, b2)
+    return out
+
+
+def _mlp_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
+    NC = XQ.shape[2]
+    pad = (-NC) % K
+    out, w1_ck, b1_ck, w2_ck, b2_ck = ttt_forward.ttt_mlp_forward(
+        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+        ln_w, ln_b, W1, b1, W2, b2, K, interpret=interpret,
+        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+    )
+    return out[:, :, :NC], w1_ck, b1_ck, w2_ck, b2_ck
+
+
+def _mlp_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
+    out, w1_ck, b1_ck, w2_ck, b2_ck = _mlp_fwd_padded_pre(
+        K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2
+    )
+    return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck)
+
+
+def _mlp_bwd_pre(K, interpret, res, g):
+    from ttt_video_dit_tpu.ops.pallas import ttt_backward
+
+    XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck = res
+    NC = XQ.shape[2]
+    pad = (-NC) % K
+
+    outs = ttt_backward.ttt_mlp_backward(
+        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
+        ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
+        _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
+        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+    )
+    dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
+    sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+    return (
+        sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
+        jnp.zeros_like(cos), jnp.zeros_like(sin),
+        jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
+        jnp.sum(dlnb, axis=(0, 2)).astype(ln_b.dtype),
+        dW1, db1[:, :, 0:1, :], dW2, db2[:, :, 0:1, :],
+    )
+
+
+ttt_mlp_fused_pre.defvjp(_mlp_fwd_pre, _mlp_bwd_pre)

@@ -93,6 +93,22 @@ def apply_rope(x, cos, sin, seq_axis: int = -2):
     return out.astype(x.dtype)
 
 
+def interleaved_tables_prefixed(cos, sin, prefix: int, total_len: int):
+    """Numpy [total_len, D] lane-duplicated (interleaved) cos/sin tables with
+    identity rows (cos=1, sin=0) for the first ``prefix`` positions — the
+    table form consumed by the fused in-kernel rope
+    (ops/pallas/ttt_forward._fused_preproc)."""
+    Dh = cos.shape[-1]
+    L_vid = total_len - prefix
+    cos_p = np.concatenate(
+        [np.ones((prefix, Dh), np.float32), np.asarray(cos[:L_vid], np.float32)], axis=0
+    )
+    sin_p = np.concatenate(
+        [np.zeros((prefix, Dh), np.float32), np.asarray(sin[:L_vid], np.float32)], axis=0
+    )
+    return np.repeat(cos_p, 2, axis=-1), np.repeat(sin_p, 2, axis=-1)
+
+
 def apply_rope_prefixed(x, cos, sin, prefix: int, seq_axis: int = 1):
     """Rope with the first ``prefix`` sequence positions left unrotated
     (text tokens). Equivalent to
