@@ -114,10 +114,11 @@ class DPMPP2MSampler:
 
     @staticmethod
     def _lamb(a_sqrt):
-        # Clip below 1: the Zero-SNR endpoint (a_sqrt == 1) would divide by
-        # zero; its multipliers are never used (the idx==1 branch returns the
-        # denoised sample directly) but the inf still raised warnings.
-        a = np.minimum(a_sqrt**2, 1.0 - 1e-12)
+        # Clip both Zero-SNR endpoints: a_sqrt == 1 divides by zero and
+        # a_sqrt == 0 takes log(0). Neither inf changes results (a == 1 is
+        # bypassed by the idx==1 branch; at a == 0 the clip turns exp(-h) == 0
+        # into ~2e-12), but the infs raised warnings.
+        a = np.clip(a_sqrt**2, 1e-24, 1.0 - 1e-12)
         return np.log(np.sqrt(a / (1.0 - a)))
 
     def _mults(self, a, a_next, a_prev):

@@ -81,13 +81,8 @@ class _KVPadMask(_mask_lib.Mask):
         return hash((type(self), self._shape, self.valid))
 
 
-# Fused-backward kv block; also sets the dQ-partials slab count (see
-# _fused_bwd_ok).
-_BWD_BLOCK_KV = 2048
-
-
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool):
+def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces.
@@ -99,7 +94,12 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool):
     pad S to a multiple of _SPLASH_BLOCK so every block divides S.
     kv_compute at 512 keeps the scores tile inside splash's fixed 16 MB
     scoped-vmem stack, which full-block compute can exceed when surrounding
-    remat fusions share the budget (seen at 42 layers)."""
+    remat fusions share the budget (seen at 42 layers).
+
+    ``bwd_block`` is 2048 only for single-window attention (flagship 3 s);
+    windowed stages (batch of windows > 1, e.g. 21 at 63 s under remat=full)
+    blow the 16 MB scoped-vmem stack at 2048x2048 dkv (measured 45 MB) and
+    keep the proven 1024 blocks."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
 
@@ -109,12 +109,16 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool):
     kv_compute = cap(512)
     bs = splash.BlockSizes(
         block_q=cap(1024), block_kv=cap(2048), block_kv_compute=kv_compute,
-        block_q_dkv=cap(2048), block_kv_dkv=cap(_BWD_BLOCK_KV), block_kv_dkv_compute=kv_compute,
+        block_q_dkv=cap(bwd_block), block_kv_dkv=cap(bwd_block), block_kv_dkv_compute=kv_compute,
         block_q_dq=None if fused_bwd else cap(1024),
         block_kv_dq=None if fused_bwd else kv_compute,
         use_fused_bwd_kernel=fused_bwd,
     )
     return mask, bs
+
+
+def _bwd_block(batch: int) -> int:
+    return 2048 if batch == 1 else 1024
 
 
 def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
@@ -123,14 +127,14 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
     windows it reaches multiple GB and OOMs v5e). The separate-dq backward is
     ~25-34 % slower on the attention bwd (scripts/tune_splash_bwd.py) but
     O(batch * S * F) in memory."""
-    partials = batch * (S // min(_BWD_BLOCK_KV, S)) * H * S * F * 2  # bf16
+    partials = batch * (S // min(_bwd_block(batch), S)) * H * S * F * 2  # bf16
     return partials <= 2 * 1024**3
 
 
-def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool):
+def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, valid, fused_bwd)
+    mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block)
     return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
 
 
@@ -144,7 +148,7 @@ def _splash(q, k, v):
     """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16), S already
     a multiple of the tuned block sizes (callers pad via _splash_padded)."""
     B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F))
+    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
@@ -162,7 +166,7 @@ def _splash_padded(q, k, v, block: int):
         return _splash(q, k, v)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F))
+    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B))
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))

@@ -39,7 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh, ln_fused_l2_bwd, ln_fwd
-from ttt_video_dit_tpu.ops.rope import _pair_rotation_matrix
 
 
 def _bmm(a, b, *, transpose_b: bool = False, transpose_a: bool = False):
