@@ -43,6 +43,10 @@ def main():
                         help="capture a jax.profiler trace of the timed steps into this dir")
     parser.add_argument("--mode", default="train", choices=["train", "sample"],
                         help="train-step MFU (default, driver contract) or DPM++ denoise throughput")
+    parser.add_argument("--eval-mini-batch", type=int, default=16,
+                        help="sample-mode TTT mini-batch (reference eval TOMLs use 16)")
+    parser.add_argument("--scan-layers", action="store_true",
+                        help="lax.scan over transformer layers (one-layer HLO; for deep configs)")
     args = parser.parse_args()
 
     import jax
@@ -77,6 +81,7 @@ def main():
         remat_attention=args.remat == "full",
         remat_forward_ssm=args.remat == "full",
         remat_reverse_ssm=args.remat == "full",
+        scan_layers=args.scan_layers,
         dtype="bfloat16",
         **VIDEO_DURATION_CONFIGS[args.video_length],
     )
@@ -169,7 +174,7 @@ def bench_sampling(args):
         ssm_layer=args.ssm_layer,
         text_dim=4096,
         use_kernel=args.use_kernel,
-        mini_batch_size=16,
+        mini_batch_size=args.eval_mini_batch,
         dtype="bfloat16",
         **VIDEO_DURATION_CONFIGS[args.video_length],
     )

@@ -101,3 +101,38 @@ def test_sampling_smoke(rng):
     out = sampler(jax.random.PRNGKey(7), denoise_fn, shape)
     assert out.shape == shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoise_program_has_no_baked_weights(rng):
+    """The jitted denoiser must take params/conditioning as arguments, not
+    closure constants: a closed-over pytree is baked into the program as
+    literals, multiplying program size by model size (a 400+ MB HLO at d512,
+    which broke remote-compile transports). Guard the program size."""
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+
+    cfg = tiny_config()
+    model = CogVideoX(cfg)
+    B, frames, scenes, text_len = 1, 13, 1, 8
+    shape = (B, frames, cfg.in_channels, 8, 8)
+    text = jnp.asarray(rng.standard_normal((B, scenes, text_len, cfg.text_dim)), jnp.float32)
+    vid0 = jnp.zeros(shape, jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), vid0, text, jax.random.PRNGKey(1), bounds)
+    n_param_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
+
+    denoise_fn = S.make_cfg_denoise_fn(model, params, text, jnp.zeros_like(text))
+    # Reach through the wrapper to the underlying jitted callable and lower it
+    # with the wrapper's bound arguments.
+    import inspect
+
+    closure = inspect.getclosurevars(denoise_fn).nonlocals
+    lowered = closure["_denoise"].lower(
+        closure["params"], closure["cond"], closure["table"], vid0, 0.5, 500.0
+    )
+    hlo_bytes = len(lowered.as_text().encode())
+    # Literal-baked params would push the program well past the param size;
+    # the real program is tens of KB at this geometry.
+    assert hlo_bytes < max(n_param_bytes // 2, 2 * 1024 * 1024), (
+        f"denoise HLO is {hlo_bytes/1e6:.1f} MB for {n_param_bytes/1e6:.1f} MB "
+        "of params - weights or tables are being baked into the program"
+    )

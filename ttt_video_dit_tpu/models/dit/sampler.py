@@ -187,8 +187,11 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
     table = jnp.asarray(training_sigma_table(sigma_interval))
     cond = jnp.concatenate([neg_emb, text_emb], axis=0)
 
+    # params/cond/table must enter as jit ARGUMENTS: a closed-over pytree is
+    # baked into the HLO as literal constants, which multiplies the program
+    # size by the model size (a 400+ MB HLO at d512; breaks compile services).
     @jax.jit
-    def denoise_fn(x, a_sqrt, timestep):
+    def _denoise(params, cond, table, x, a_sqrt, timestep):
         B = x.shape[0]
         x2 = jnp.concatenate([x, x], axis=0)
         a = jnp.full((2 * B,), a_sqrt, jnp.float32)
@@ -198,5 +201,8 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
         a_q = table[idx]
         t = idx.astype(jnp.float32) if quantize_c_noise else jnp.full((2 * B,), timestep, jnp.float32)
         return model.apply(params, x2, a_q, cond, t, method="denoise")
+
+    def denoise_fn(x, a_sqrt, timestep):
+        return _denoise(params, cond, table, x, a_sqrt, timestep)
 
     return denoise_fn

@@ -20,35 +20,44 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def precompute_rope_3d(head_dim: int, height: int, width: int, num_frames: int, theta: float = 10000.0):
-    """Returns (cos, sin) as *numpy* float32 arrays of shape
-    [num_frames * height * width, head_dim // 2]. Numpy (not jnp) so the
-    lru_cache never captures a traced value; they become jit constants at the
-    point of use."""
+def _rope_freq_bands(head_dim: int, theta: float):
+    """Tiny per-band inverse-frequency vectors (numpy, safe to cache)."""
     dim_t = head_dim // 4
     dim_h = head_dim // 8 * 3
     dim_w = head_dim // 8 * 3
-
     freqs_t = 1.0 / (theta ** (np.arange(0, dim_t, 2)[: dim_t // 2].astype(np.float32) / dim_t))
     freqs_h = 1.0 / (theta ** (np.arange(0, dim_h, 2)[: dim_h // 2].astype(np.float32) / dim_h))
     freqs_w = 1.0 / (theta ** (np.arange(0, dim_w, 2)[: dim_w // 2].astype(np.float32) / dim_w))
+    return freqs_t, freqs_h, freqs_w
 
-    ang_t = np.arange(num_frames, dtype=np.float32)[:, None] * freqs_t[None, :]  # [T, d/8]
-    ang_h = np.arange(height, dtype=np.float32)[:, None] * freqs_h[None, :]  # [H, 3d/16]
-    ang_w = np.arange(width, dtype=np.float32)[:, None] * freqs_w[None, :]  # [W, 3d/16]
+
+def precompute_rope_3d(head_dim: int, height: int, width: int, num_frames: int, theta: float = 10000.0):
+    """Returns (cos, sin), float32 [num_frames * height * width, head_dim // 2].
+
+    Built with on-device jnp ops (iota-style broadcasts over tiny cached
+    frequency vectors), NOT materialized numpy: a concrete table becomes a
+    multi-MB literal constant at every jit use site (~24 copies x 4.5 MB of
+    program payload at the 3 s geometry, which crushed remote-compile
+    transports). As traced ops they are folded once by XLA at compile time.
+    Never cache the returned (possibly traced) arrays."""
+    freqs_t, freqs_h, freqs_w = _rope_freq_bands(head_dim, theta)
+
+    ang_t = jnp.arange(num_frames, dtype=jnp.float32)[:, None] * freqs_t[None, :]  # [T, d/8]
+    ang_h = jnp.arange(height, dtype=jnp.float32)[:, None] * freqs_h[None, :]  # [H, 3d/16]
+    ang_w = jnp.arange(width, dtype=jnp.float32)[:, None] * freqs_w[None, :]  # [W, 3d/16]
 
     # Broadcast-concatenate to [T, H, W, d/2] then flatten (t h w) row-major.
     T, H, W = num_frames, height, width
-    ang = np.concatenate(
+    ang = jnp.concatenate(
         [
-            np.broadcast_to(ang_t[:, None, None, :], (T, H, W, ang_t.shape[-1])),
-            np.broadcast_to(ang_h[None, :, None, :], (T, H, W, ang_h.shape[-1])),
-            np.broadcast_to(ang_w[None, None, :, :], (T, H, W, ang_w.shape[-1])),
+            jnp.broadcast_to(ang_t[:, None, None, :], (T, H, W, ang_t.shape[-1])),
+            jnp.broadcast_to(ang_h[None, :, None, :], (T, H, W, ang_h.shape[-1])),
+            jnp.broadcast_to(ang_w[None, None, :, :], (T, H, W, ang_w.shape[-1])),
         ],
         axis=-1,
     ).reshape(T * H * W, -1)
 
-    return np.cos(ang), np.sin(ang)
+    return jnp.cos(ang), jnp.sin(ang)
 
 
 @functools.lru_cache(maxsize=4)
@@ -94,19 +103,16 @@ def apply_rope(x, cos, sin, seq_axis: int = -2):
 
 
 def interleaved_tables_prefixed(cos, sin, prefix: int, total_len: int):
-    """Numpy [total_len, D] lane-duplicated (interleaved) cos/sin tables with
+    """[total_len, D] lane-duplicated (interleaved) cos/sin tables with
     identity rows (cos=1, sin=0) for the first ``prefix`` positions — the
     table form consumed by the fused in-kernel rope
-    (ops/pallas/ttt_forward._fused_preproc)."""
+    (ops/pallas/ttt_forward._fused_preproc). jnp ops: see precompute_rope_3d
+    on why tables must stay traced rather than become per-site literals."""
     Dh = cos.shape[-1]
     L_vid = total_len - prefix
-    cos_p = np.concatenate(
-        [np.ones((prefix, Dh), np.float32), np.asarray(cos[:L_vid], np.float32)], axis=0
-    )
-    sin_p = np.concatenate(
-        [np.zeros((prefix, Dh), np.float32), np.asarray(sin[:L_vid], np.float32)], axis=0
-    )
-    return np.repeat(cos_p, 2, axis=-1), np.repeat(sin_p, 2, axis=-1)
+    cos_p = jnp.concatenate([jnp.ones((prefix, Dh), jnp.float32), jnp.asarray(cos[:L_vid], jnp.float32)], axis=0)
+    sin_p = jnp.concatenate([jnp.zeros((prefix, Dh), jnp.float32), jnp.asarray(sin[:L_vid], jnp.float32)], axis=0)
+    return jnp.repeat(cos_p, 2, axis=-1), jnp.repeat(sin_p, 2, axis=-1)
 
 
 def apply_rope_prefixed(x, cos, sin, prefix: int, seq_axis: int = 1):
