@@ -66,6 +66,65 @@ def bench_attention(iters):
         run(f"splash-pad18432-{blk}", functools.partial(attn_mod._splash_padded, block=blk))
 
 
+def bench_ttt_k_sweep(iters, heads: int = 48):
+    """Sweep (checkpoint-group K, backward head-group G): a K that divides
+    NC=282 kills the NC pad/slice ops around every kernel call (~21 ms/step
+    at d3072), and a smaller K shrinks the backward's in-group stash, which
+    may admit a larger G."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ttt_video_dit_tpu.ops.pallas import ttt_backward, ttt_forward
+
+    B, H, CS, F = 1, heads, 64, 64
+    NC = 18048 // CS  # 282
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+
+    for K in (6, 8, 16):
+        pad = (-NC) % K
+        NCp = NC + pad
+        XQ, XK, XV = mk(B, H, NCp, CS, F), mk(B, H, NCp, CS, F), mk(B, H, NCp, CS, F)
+        eta = jnp.asarray(np.abs(rng.standard_normal((B, H, NCp, CS))) * 0.01, jnp.bfloat16)
+        ln_w, ln_b = jnp.ones((H, F), jnp.float32), jnp.zeros((H, F), jnp.float32)
+        W1 = jnp.asarray(rng.standard_normal((B, H, F, 4 * F)) * 0.02, jnp.float32)
+        b1 = jnp.zeros((B, H, 1, 4 * F), jnp.float32)
+        W2 = jnp.asarray(rng.standard_normal((B, H, 4 * F, F)) * 0.02, jnp.float32)
+        b2 = jnp.zeros((B, H, 1, F), jnp.float32)
+        g = mk(B, H, NCp, CS, F)
+
+        f = jax.jit(
+            lambda XQ, XK, XV, eta, K=K: ttt_forward.ttt_mlp_forward(
+                XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K, head_group=16
+            )[0]
+        )
+        try:
+            t = timeit(f, (XQ, XK, XV, eta), iters)
+            print(f"ttt-mlp K={K:2d} pad={pad} fwd G=16: {t*1e3:7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"ttt-mlp K={K:2d} fwd G=16: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+            continue
+
+        fwd = jax.jit(
+            lambda XQ, XK, XV, eta, K=K: ttt_forward.ttt_mlp_forward(
+                XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K, head_group=8
+            )
+        )
+        _, w1_ck, b1_ck, w2_ck, b2_ck = fwd(XQ, XK, XV, eta)
+        for G in [G for G in (8, 16, 24) if H % G == 0]:
+            b = jax.jit(
+                lambda XQ, XK, XV, eta, g, K=K, G=G: ttt_backward.ttt_mlp_backward(
+                    XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g, K, head_group=G
+                )[0]
+            )
+            try:
+                t = timeit(b, (XQ, XK, XV, eta, g), iters)
+                print(f"ttt-mlp K={K:2d} bwd G={G:2d}: {t*1e3:7.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"ttt-mlp K={K:2d} bwd G={G:2d}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
 def bench_ttt(iters, heads: int = 16):
     import jax
     import jax.numpy as jnp
@@ -126,7 +185,7 @@ def bench_ttt(iters, heads: int = 16):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--which", default="all", choices=["attn", "ttt", "all"])
+    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "all"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--heads", type=int, default=16)
     args = p.parse_args()
@@ -141,6 +200,8 @@ def main():
         bench_attention(args.iters)
     if args.which in ("ttt", "all"):
         bench_ttt(args.iters, heads=args.heads)
+    if args.which == "ksweep":
+        bench_ttt_k_sweep(args.iters, heads=args.heads)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,8 @@ def test_mlp_kernel_grads_match_oracle(rng, fused):
 
 
 def test_kernel_nc_not_divisible_by_group(rng):
-    """NC=6 with K=4 pads with eta=0 no-op mini-batches; outputs must still
-    match the oracle exactly."""
+    """NC=6 with K=4: the kernels handle the ragged last checkpoint group
+    in-kernel (no padding); outputs must still match the oracle exactly."""
     args = _inputs(rng)
     out_kernel = ttt_vjp.ttt_linear_fused(4, True, True, *args)
     out_oracle = ttt_scan.ttt_linear(*args, checkpoint_group_size=4)
@@ -91,8 +91,9 @@ def test_kernel_nc_not_divisible_by_group(rng):
 
 @pytest.mark.parametrize("fused", [True, False])
 def test_kernel_grads_with_padded_nc(rng, fused):
-    """Gradient path through the eta=0 padding (NC % K != 0) — regression for
-    a double-padding bug in the grouped backward."""
+    """Gradient path with NC % K != 0 (ragged last group in the fused kernel;
+    eta=0 padding in the XLA fallback) — regression for a double-padding bug
+    in the grouped backward."""
     args = _inputs(rng)
     gk = jax.grad(lambda *a: jnp.sum(ttt_vjp.ttt_linear_fused(4, True, fused, *a) ** 2), argnums=(0, 4, 6))(*args)
     go = jax.grad(lambda *a: jnp.sum(ttt_scan.ttt_linear(*a, checkpoint_group_size=4) ** 2), argnums=(0, 4, 6))(*args)
@@ -101,7 +102,7 @@ def test_kernel_grads_with_padded_nc(rng, fused):
 
 
 def test_mlp_fused_bwd_grads_with_padded_nc(rng):
-    """Fused Pallas MLP backward through eta=0 padded mini-batches."""
+    """Fused Pallas MLP backward with a ragged last checkpoint group."""
     args = _inputs(rng, mlp=True)
     argnums = tuple(range(len(args)))
     gk = jax.grad(lambda *a: jnp.sum(ttt_vjp.ttt_mlp_fused(4, True, True, *a) ** 2), argnums=argnums)(*args)
@@ -144,8 +145,8 @@ def _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl):
 def test_fused_preproc_grads_match_composed_autodiff(rng, K):
     """The in-kernel preproc (L2-norm + rope + LN-target) and its hand-derived
     VJPs must match jax autodiff of the XLA preproc composed with the scan
-    oracle — for values and every gradient, including the NC-padded case
-    (K=4 pads NC 6->8 with eta=0 mini-batches)."""
+    oracle — for values and every gradient, including the ragged-NC case
+    (K=4, NC=6: the backward's last checkpoint group has 2 valid steps)."""
     args = _inputs(rng, mlp=True)
     XQr, XKr, XVr, eta, lnw, lnb, W1, b1, W2, b2 = args
     stl = 24

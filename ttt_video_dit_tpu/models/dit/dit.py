@@ -159,7 +159,9 @@ class SegmentLocalAttention(nn.Module):
         k = maybe_shard(k, DATA, None, TENSOR, None)
         v = maybe_shard(v, DATA, None, TENSOR, None)
 
-        attn = attention(q, k, v)  # [B*C, S, H, F]
+        # Under scan-over-layers splash shares scoped vmem with the loop's
+        # remat fusions; use the vmem-lean block profile there.
+        attn = attention(q, k, v, conservative=cfg.scan_layers)  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)
         out = dense("o")(attn).reshape(B, C, S, D)
 

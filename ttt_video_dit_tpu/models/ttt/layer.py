@@ -176,6 +176,12 @@ class TTTLayer(nn.Module):
         # [B, H, NC, CS, F] -> [B, L, H*F]
         out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
 
+        # Barrier keeps the head->token transpose in bf16: without it XLA
+        # hoists post_norm's f32 upcast above the transpose and materializes
+        # f32 [B, L, H, F] layout copies (~28 ms/step at the 3 s d3072
+        # geometry, seen as flax normalization convert_element_type copies).
+        out = jax.lax.optimization_barrier(out)
+
         out = self.wo(self.post_norm(out))
 
         if meta.is_multiscene:

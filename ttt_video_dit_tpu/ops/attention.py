@@ -82,7 +82,7 @@ class _KVPadMask(_mask_lib.Mask):
 
 
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
+def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, conservative: bool):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces.
@@ -99,13 +99,18 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
     ``bwd_block`` is 2048 only for single-window attention (flagship 3 s);
     windowed stages (batch of windows > 1, e.g. 21 at 63 s under remat=full)
     blow the 16 MB scoped-vmem stack at 2048x2048 dkv (measured 45 MB) and
-    keep the proven 1024 blocks."""
+    keep the proven 1024 blocks.
+
+    ``conservative`` caps every block at 1024: under scan-over-layers the
+    kernel shares the scoped-vmem stack with the surrounding while-loop remat
+    fusions, and the tuned fwd kv2048 config overflows it (20 MB > 16 MB,
+    seen at 42 layers with --scan-layers)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
 
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
-    cap = lambda b: min(b, S)
+    cap = lambda b: min(b, S if not conservative else min(S, 1024))
     kv_compute = cap(512)
     bs = splash.BlockSizes(
         block_q=cap(1024), block_kv=cap(2048), block_kv_compute=kv_compute,
@@ -131,10 +136,10 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
     return partials <= 2 * 1024**3
 
 
-def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
+def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, conservative: bool = False):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block)
+    mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, conservative)
     return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
 
 
@@ -144,18 +149,18 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int):
 _SPLASH_BLOCK = 2048
 
 
-def _splash(q, k, v):
+def _splash(q, k, v, conservative: bool = False):
     """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16), S already
     a multiple of the tuned block sizes (callers pad via _splash_padded)."""
     B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B))
+    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B), conservative)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def _splash_padded(q, k, v, block: int):
+def _splash_padded(q, k, v, block: int, conservative: bool = False):
     """Splash attention at an arbitrary S: pad the sequence up to a multiple
     of ``block`` and mask the padded KV columns (exact — real rows never see
     pad tokens). Larger blocks amortize per-block softmax bookkeeping, which
@@ -163,26 +168,27 @@ def _splash_padded(q, k, v, block: int):
     B, S, H, F = q.shape
     Sp = -(-S // block) * block
     if Sp == S:
-        return _splash(q, k, v)
+        return _splash(q, k, v, conservative)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B))
+    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B), conservative)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
     return jnp.transpose(out, (0, 2, 1, 3))[:, :S]
 
 
-def attention(q, k, v):
+def attention(q, k, v, conservative: bool = False):
     """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F].
 
     Long windows on TPU take the splash (flash) kernel, padded up to a
     multiple of the tuned block size with the pad KV columns masked — large
     blocks amortize the per-block softmax bookkeeping that dominates at
-    head_dim 64 (1.55x over the divisor-constrained block choice on v5e)."""
+    head_dim 64 (1.55x over the divisor-constrained block choice on v5e).
+    ``conservative`` selects vmem-lean 1024 blocks (scan-over-layers)."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
     if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
-        return _splash_padded(q, k, v, block=_SPLASH_BLOCK)
+        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative)
     return _chunked(q, k, v)

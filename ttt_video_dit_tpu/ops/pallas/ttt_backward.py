@@ -140,7 +140,7 @@ def _rope_vjp(u, cos, sin, R):
 # ------------------------------------------------------------------ MLP bwd
 
 
-def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
+def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
@@ -156,6 +156,12 @@ def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
          w1_stash, b1_stash, w2_stash, b2_stash,
          dw1_c, db1_c, dw2_c, db2_c, dlnw_acc, dlnb_acc) = refs
     n = pl.program_id(1)
+
+    # Ragged NC: the last group (processed first, n == 0) has fewer than K
+    # valid mini-batches; its trailing block rows are Pallas edge padding
+    # (garbage reads, masked writes) and the loops below never touch them.
+    last_valid = NC - (NG - 1) * K
+    valid = K if last_valid == K else jnp.where(n == 0, last_valid, K)
 
     @pl.when(n == 0)
     def _():
@@ -228,11 +234,11 @@ def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
         w2ck_ref[0, :, 0],
         _bmm(ones_cs8, b2ck_ref[0, :, 0]),
     )
-    jax.lax.fori_loop(0, K, fwd_body, init)
+    jax.lax.fori_loop(0, valid, fwd_body, init)
 
     # ---- Pass B: reverse through the group applying the step VJP.
     def bwd_body(jj, _):
-        j = K - 1 - jj
+        j = valid - 1 - jj
         W1 = w1_stash[j]
         b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
         W2 = w2_stash[j]
@@ -372,7 +378,7 @@ def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
         db2_c[:] = db2_new
         return 0
 
-    jax.lax.fori_loop(0, K, bwd_body, 0)
+    jax.lax.fori_loop(0, valid, bwd_body, 0)
 
     # Flush param grads every step (same-index output block; final grid step
     # — group 0 — wins).
@@ -387,7 +393,7 @@ def _mlp_bwd_kernel(K: int, NG: int, pre: bool, *refs):
 # ---------------------------------------------------------------- linear bwd
 
 
-def _linear_bwd_kernel(K: int, NG: int, pre: bool, *refs):
+def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, dout_ref,
@@ -403,6 +409,10 @@ def _linear_bwd_kernel(K: int, NG: int, pre: bool, *refs):
          w1_stash, b1_stash,
          dw1_c, db1_c, dlnw_acc, dlnb_acc) = refs
     n = pl.program_id(1)
+
+    # Ragged NC: see _mlp_bwd_kernel.
+    last_valid = NC - (NG - 1) * K
+    valid = K if last_valid == K else jnp.where(n == 0, last_valid, K)
 
     @pl.when(n == 0)
     def _():
@@ -451,10 +461,10 @@ def _linear_bwd_kernel(K: int, NG: int, pre: bool, *refs):
         return (W1n, b1n)
 
     ones_cs8 = jnp.ones((G_heads, CS, 8), jnp.float32)
-    jax.lax.fori_loop(0, K, fwd_body, (w1ck_ref[0, :, 0], _bmm(ones_cs8, b1ck_ref[0, :, 0])))
+    jax.lax.fori_loop(0, valid, fwd_body, (w1ck_ref[0, :, 0], _bmm(ones_cs8, b1ck_ref[0, :, 0])))
 
     def bwd_body(jj, _):
-        j = K - 1 - jj
+        j = valid - 1 - jj
         W1 = w1_stash[j]
         b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
 
@@ -533,7 +543,7 @@ def _linear_bwd_kernel(K: int, NG: int, pre: bool, *refs):
         db1_c[:] = db1_new
         return 0
 
-    jax.lax.fori_loop(0, K, bwd_body, 0)
+    jax.lax.fori_loop(0, valid, bwd_body, 0)
 
     dw1_ref[0] = dw1_c[:]
     db1_ref[0] = db1_c[:]
@@ -547,8 +557,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     """Fused TTT-linear backward; see ttt_mlp_backward for conventions."""
     B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
-    assert NC % K == 0, "pad NC to a multiple of the checkpoint group first"
-    NG = NC // K
+    NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
     G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=False)
     HG = H // G
 
@@ -569,7 +578,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_linear_bwd_kernel, K, NG, pre),
+        functools.partial(_linear_bwd_kernel, K, NG, NC, pre),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F), ck_spec(8, F), x_spec(F)],
@@ -629,9 +638,11 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                      checkpoint_group_size: int, interpret: bool = False,
                      head_group: int | None = None, rope_cos=None, rope_sin=None):
-    """Fused backward. Inputs are the (already eta=0-padded to NC % K == 0)
-    tensors plus the forward kernel's state checkpoints (b ckpts row-replicated
-    [B,H,NG,CS,F']) and the output cotangent ``g``.
+    """Fused backward. NC need not divide the checkpoint group: the ragged
+    last group is handled in-kernel with dynamically-bounded loops (its edge
+    block rows are Pallas garbage-reads/masked-writes and are never touched).
+    Inputs are the raw tensors plus the forward kernel's state checkpoints
+    (b ckpts row-replicated [B,H,NG,CS,F']) and the output cotangent ``g``.
 
     Returns (dXQ, dXK, dXV, deta, d_lnw [B,H,CS,F], d_lnb [B,H,CS,F],
     dW1 [B,H,F,4F], db1 [B,H,CS,4F], dW2, db2) — ln/bias grads row-replicated
@@ -640,8 +651,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     B, H, NC, CS, F = XQ.shape
     F4 = w1_ck.shape[-1]
     K = min(max(checkpoint_group_size, 1), NC)
-    assert NC % K == 0, "pad NC to a multiple of the checkpoint group first"
-    NG = NC // K
+    NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
     G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=True)
     HG = H // G
 
@@ -662,7 +672,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, K, NG, pre),
+        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),

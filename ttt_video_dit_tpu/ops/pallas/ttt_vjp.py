@@ -9,9 +9,12 @@ backward (reference: ttt/models/ssm/kernels/linear_backward.py:208-520) and
 ThunderKittens backward (reference: mlp_tk.py:156-275), with XLA generating
 the in-group backward instead of hand-written kernels.
 
-If NC is not a multiple of the group size, inputs are padded with eta=0
-mini-batches (a zero learning rate makes the fast-weight update an exact
-no-op), and padded outputs are sliced away.
+If NC is not a multiple of the group size, the Pallas kernels handle the
+ragged last checkpoint group natively (the forward grid is per-mini-batch;
+the backward bounds its in-group loops dynamically) — no padding, no
+pad/slice ops in the step program. Only the XLA-recompute fallback backward
+still pads with eta=0 mini-batches (a zero learning rate makes the
+fast-weight update an exact no-op) and slices the padded outputs away.
 """
 
 from __future__ import annotations
@@ -89,13 +92,7 @@ def ttt_linear_fused(K: int, interpret: bool, fused: bool, XQ, XK, XV, eta, ln_w
 
 
 def _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
-    NC = XQ.shape[2]
-    pad = (-NC) % K
-    out, w_ck, b_ck = ttt_forward.ttt_linear_forward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, W1, b1, K, interpret=interpret,
-    )
-    return out[:, :, :NC], w_ck, b_ck
+    return ttt_forward.ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, K, interpret=interpret)
 
 
 def _linear_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
@@ -112,10 +109,9 @@ def _linear_bwd(K, interpret, fused, res, g):
         from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
         dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
-            _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-            ln_w, ln_b, w_ck, b_ck, _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
+            XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck, g.astype(XQ.dtype), K, interpret=interpret,
         )
-        sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+        sl = lambda x, proto: x.astype(proto.dtype)
         return (
             sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
             jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
@@ -159,13 +155,7 @@ def ttt_mlp_fused(K: int, interpret: bool, fused: bool, XQ, XK, XV, eta, ln_w, l
 
 
 def _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
-    NC = XQ.shape[2]
-    pad = (-NC) % K
-    out, w1_ck, b1_ck, w2_ck, b2_ck = ttt_forward.ttt_mlp_forward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, W1, b1, W2, b2, K, interpret=interpret,
-    )
-    return out[:, :, :NC], w1_ck, b1_ck, w2_ck, b2_ck
+    return ttt_forward.ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K, interpret=interpret)
 
 
 def _mlp_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
@@ -182,12 +172,11 @@ def _mlp_bwd(K, interpret, fused, res, g):
         from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
         outs = ttt_backward.ttt_mlp_backward(
-            _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-            ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
-            _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
+            XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
+            g.astype(XQ.dtype), K, interpret=interpret,
         )
         dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
-        sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+        sl = lambda x, proto: x.astype(proto.dtype)
         return (
             sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
             jnp.sum(dlnw, axis=(0, 2)).astype(ln_w.dtype),
@@ -228,12 +217,6 @@ ttt_mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)
 # tensors). Table cotangents are zero (rope tables are positional constants).
 
 
-def _pad_tab(t, pad):
-    if pad == 0:
-        return t
-    return jnp.pad(t, ((0, pad), (0, 0), (0, 0)))
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def ttt_linear_fused_pre(K: int, interpret: bool, XQ, XK, XV, eta, rope_cos, rope_sin,
                          ln_w, ln_b, W1, b1):
@@ -243,14 +226,8 @@ def ttt_linear_fused_pre(K: int, interpret: bool, XQ, XK, XV, eta, rope_cos, rop
 
 
 def _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
-    NC = XQ.shape[2]
-    pad = (-NC) % K
-    out, w_ck, b_ck = ttt_forward.ttt_linear_forward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, W1, b1, K, interpret=interpret,
-        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
-    )
-    return out[:, :, :NC], w_ck, b_ck
+    return ttt_forward.ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, K,
+                                          interpret=interpret, rope_cos=cos, rope_sin=sin)
 
 
 def _linear_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
@@ -262,15 +239,12 @@ def _linear_bwd_pre(K, interpret, res, g):
     from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
     XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck = res
-    NC = XQ.shape[2]
-    pad = (-NC) % K
 
     dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, w_ck, b_ck, _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
-        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+        XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck, g.astype(XQ.dtype), K, interpret=interpret,
+        rope_cos=cos, rope_sin=sin,
     )
-    sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+    sl = lambda x, proto: x.astype(proto.dtype)
     return (
         sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
         jnp.zeros_like(cos), jnp.zeros_like(sin),
@@ -292,14 +266,8 @@ def ttt_mlp_fused_pre(K: int, interpret: bool, XQ, XK, XV, eta, rope_cos, rope_s
 
 
 def _mlp_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
-    NC = XQ.shape[2]
-    pad = (-NC) % K
-    out, w1_ck, b1_ck, w2_ck, b2_ck = ttt_forward.ttt_mlp_forward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, W1, b1, W2, b2, K, interpret=interpret,
-        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
-    )
-    return out[:, :, :NC], w1_ck, b1_ck, w2_ck, b2_ck
+    return ttt_forward.ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K,
+                                       interpret=interpret, rope_cos=cos, rope_sin=sin)
 
 
 def _mlp_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
@@ -313,17 +281,14 @@ def _mlp_bwd_pre(K, interpret, res, g):
     from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
     XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck = res
-    NC = XQ.shape[2]
-    pad = (-NC) % K
 
     outs = ttt_backward.ttt_mlp_backward(
-        _pad_nc(XQ, pad), _pad_nc(XK, pad), _pad_nc(XV, pad), _pad_nc(eta, pad),
-        ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
-        _pad_nc(g.astype(XQ.dtype), pad), K, interpret=interpret,
-        rope_cos=_pad_tab(cos, pad), rope_sin=_pad_tab(sin, pad),
+        XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
+        g.astype(XQ.dtype), K, interpret=interpret,
+        rope_cos=cos, rope_sin=sin,
     )
     dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
-    sl = lambda x, proto: x[:, :, :NC].astype(proto.dtype)
+    sl = lambda x, proto: x.astype(proto.dtype)
     return (
         sl(dXQ, XQ), sl(dXK, XK), sl(dXV, XV), sl(de, eta),
         jnp.zeros_like(cos), jnp.zeros_like(sin),
