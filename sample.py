@@ -88,7 +88,12 @@ def main(job_config) -> None:
         logger.write(f"loaded DiT weights from {job_config.checkpoint.init_state_dir}")
     else:
         logger.write("WARNING: no --checkpoint.init_state_dir; sampling from random weights (smoke mode)")
-        params = model.init(jax.random.PRNGKey(0), vid0, text0, jax.random.PRNGKey(1), bounds)
+        # Init must run under jit: an eager flax init executes the model
+        # op-by-op, compiling every Pallas kernel as its own standalone
+        # program through the stricter standalone-compile vmem limits.
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), vid0, text0, jax.random.PRNGKey(1), bounds)
+        )()
 
     # --- VAE decoder -----------------------------------------------------
     vae = None

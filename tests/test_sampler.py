@@ -136,3 +136,26 @@ def test_denoise_program_has_no_baked_weights(rng):
         f"denoise HLO is {hlo_bytes/1e6:.1f} MB for {n_param_bytes/1e6:.1f} MB "
         "of params - weights or tables are being baked into the program"
     )
+
+
+def test_scanned_sampler_matches_loop(rng):
+    """The single-program lax.scan trajectory must match the per-step Python
+    loop bit-for-bit in structure (same rng split order, same per-step
+    constants) and numerically to float tolerance."""
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+
+    cfg = tiny_config()
+    model = CogVideoX(cfg)
+    B, frames, scenes, text_len = 1, 13, 1, 8
+    shape = (B, frames, cfg.in_channels, 8, 8)
+    text = jnp.asarray(rng.standard_normal((B, scenes, text_len, cfg.text_dim)), jnp.float32)
+    vid0 = jnp.zeros(shape, jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), vid0, text, jax.random.PRNGKey(1), bounds)
+
+    denoise_fn = S.make_cfg_denoise_fn(model, params, text, jnp.zeros_like(text))
+    sampler = S.DPMPP2MSampler(num_steps=4, guider=S.DynamicCFG(scale=6, exp=5, num_steps=4))
+    out_loop = sampler(jax.random.PRNGKey(7), denoise_fn, shape, scan=False)
+    out_scan = sampler(jax.random.PRNGKey(7), denoise_fn, shape, scan=True)
+    assert np.isfinite(np.asarray(out_scan)).all()
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop), rtol=1e-4, atol=1e-4)

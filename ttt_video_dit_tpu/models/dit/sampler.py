@@ -11,6 +11,7 @@ algebra is pure jnp.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 from dataclasses import dataclass
@@ -131,48 +132,117 @@ class DPMPP2MSampler:
         r = (self._lamb(a) - self._lamb(a_prev)) / h
         return h, (mult1, mult2, 1 + 1 / (2 * r), 1 / (2 * r))
 
-    def __call__(self, rng, denoise_fn, shape, dtype=jnp.float32, progress_cb=None):
-        """Run the full sampling loop. shape = (B, T, C, H, W)."""
+    def _step_tables(self, rng):
+        """Per-step constants for the whole trajectory, replicating the loop's
+        control flow (including the rng split order) as stacked arrays —
+        the input to the lax.scan execution path."""
         a_sqrt, timesteps = self.discretization(self.num_steps, return_idx=True)
         a_sqrt = np.concatenate([a_sqrt, np.ones((1,), a_sqrt.dtype)])
         timesteps = np.concatenate([[-1], np.asarray(timesteps)])
+        n = len(a_sqrt) - 1
 
-        x = jax.random.normal(rng, shape, jnp.float32)
-        num_sigmas = len(a_sqrt)
-
-        old_denoised = None
-        for i in range(num_sigmas - 1):
+        rows, keys = [], []
+        for i in range(n):
             idx = self.num_steps - i
             timestep = float(timesteps[-(i + 1)])
             a = float(a_sqrt[i])
             a_next = float(a_sqrt[i + 1])
             a_prev = None if i == 0 else float(a_sqrt[i - 1])
-
-            denoised = denoise_fn(x, a, timestep)
-            denoised = self.guider.combine(denoised, self.num_steps - int(timestep)).astype(jnp.float32)
+            scale = self.guider.scale_at(self.num_steps - int(timestep))
 
             if idx == 1:
-                x = denoised
-                old_denoised = denoised
-                if progress_cb:
-                    progress_cb(i + 1, num_sigmas - 1)
+                rows.append((a, timestep, scale, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                keys.append(np.zeros((2,), np.uint32))
                 continue
 
             rng, key = jax.random.split(rng)
             h, mult = self._mults(a, a_next, a_prev)
             mult_noise = math.sqrt(1 - a_next**2) * math.sqrt(max(1 - math.exp(-2 * h), 0.0))
-            noise = jax.random.normal(key, x.shape, jnp.float32)
+            first = 1.0 if (i == 0 or a_next < 1e-14) else 0.0
+            m2, m3 = (0.0, 0.0) if i == 0 else (float(mult[2]), float(mult[3]))
+            rows.append((a, timestep, scale, 0.0, first, float(mult[0]), float(mult[1]), m2, m3, mult_noise))
+            keys.append(np.asarray(key))
 
-            if old_denoised is None or a_next < 1e-14:
-                x = mult[0] * x - mult[1] * denoised + mult_noise * noise
+        cols = np.asarray(rows, np.float32).T
+        names = ("a", "t", "scale", "last", "first", "m0", "m1", "m2", "m3", "mn")
+        steps = {k: np.ascontiguousarray(v) for k, v in zip(names, cols)}
+        steps["key"] = np.stack(keys)  # legacy uint32[2] PRNG keys
+        return rng, steps, n
+
+    def __call__(self, rng, denoise_fn, shape, dtype=jnp.float32, progress_cb=None, scan=None):
+        """Run the full sampling loop. shape = (B, T, C, H, W).
+
+        With ``scan=True`` (requires ``denoise_fn.core``/``.bundle`` from
+        make_cfg_denoise_fn and no ``progress_cb``) the whole trajectory runs
+        as ONE jitted ``lax.scan``. The default stays the per-step Python
+        loop: JAX's async dispatch already pipelines it (measured 0.497 vs
+        0.512 s/eval for the scan on v5e), and it supports progress
+        reporting; the scanned path is for hosts where per-step dispatch is
+        expensive.
+        """
+        use_scan = (
+            scan is True
+            and progress_cb is None
+            and getattr(denoise_fn, "core", None) is not None
+        )
+        rng0 = rng
+        rng, steps, n = self._step_tables(rng)
+        x = jax.random.normal(rng0, shape, jnp.float32)
+
+        if use_scan:
+            out = _scan_sample(denoise_fn.core, denoise_fn.bundle, x, steps)
+            return out.astype(dtype)
+
+        # Per-step loop (same math; per-step constants from the same tables).
+        old_denoised = jnp.zeros_like(x)
+        for i in range(n):
+            denoised2 = denoise_fn(x, float(steps["a"][i]), float(steps["t"][i]))
+            x_u, x_c = jnp.split(denoised2, 2, axis=0)
+            denoised = (x_u + float(steps["scale"][i]) * (x_c - x_u)).astype(jnp.float32)
+
+            if steps["last"][i]:
+                x = denoised
+                old_denoised = denoised
+                if progress_cb:
+                    progress_cb(i + 1, n)
+                continue
+
+            noise = jax.random.normal(steps["key"][i], x.shape, jnp.float32)
+            if steps["first"][i]:
+                d_eff = denoised
             else:
-                denoised_d = mult[2] * denoised - mult[3] * old_denoised
-                x = mult[0] * x - mult[1] * denoised_d + mult_noise * noise
+                d_eff = float(steps["m2"][i]) * denoised - float(steps["m3"][i]) * old_denoised
+            x = float(steps["m0"][i]) * x - float(steps["m1"][i]) * d_eff + float(steps["mn"][i]) * noise
             old_denoised = denoised
             if progress_cb:
-                progress_cb(i + 1, num_sigmas - 1)
+                progress_cb(i + 1, n)
 
         return x.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _scan_sample(core, bundle, x0, steps):
+    """One compiled program for the whole DPM++(2M) trajectory: lax.scan over
+    the per-step constant tables (see DPMPP2MSampler._step_tables). ``core``
+    is the raw (un-jitted) denoiser body and ``bundle`` its params/cond/table
+    pytree — threaded as arguments so the weights are scan inputs, never
+    program literals."""
+
+    def body(carry, s):
+        x, old = carry
+        denoised2 = core(*bundle, x, s["a"], s["t"])
+        x_u, x_c = jnp.split(denoised2, 2, axis=0)
+        den = (x_u + s["scale"] * (x_c - x_u)).astype(jnp.float32)
+
+        noise = jax.random.normal(s["key"], x.shape, jnp.float32)
+        den_d = s["m2"] * den - s["m3"] * old
+        d_eff = jnp.where(s["first"] > 0, den, den_d)
+        x_new = s["m0"] * x - s["m1"] * d_eff + s["mn"] * noise
+        x_new = jnp.where(s["last"] > 0, den, x_new)
+        return (x_new, den), None
+
+    (x, _), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), steps)
+    return x
 
 
 def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 1000, quantize_c_noise: bool = False):
@@ -205,4 +275,12 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
     def denoise_fn(x, a_sqrt, timestep):
         return _denoise(params, cond, table, x, a_sqrt, timestep)
 
+    # Expose the raw body + argument bundle so DPMPP2MSampler can inline the
+    # denoiser into its single-program lax.scan trajectory (weights stay scan
+    # inputs, never literals).
+    def _core(params, cond, table, x, a_sqrt, timestep):
+        return _denoise.__wrapped__(params, cond, table, x, a_sqrt, timestep)
+
+    denoise_fn.core = _core
+    denoise_fn.bundle = (params, cond, table)
     return denoise_fn
