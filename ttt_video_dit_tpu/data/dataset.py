@@ -28,6 +28,15 @@ import numpy as np
 
 def load_tensor(path: str) -> np.ndarray:
     if path.endswith(".npy"):
+        # Native C++ reader when the toolchain allows (ttt_video_dit_tpu/
+        # data/_native); byte-identical to np.load, parses+reads off the GIL.
+        from ttt_video_dit_tpu.data import native
+
+        if native.available():
+            try:
+                return native.load_npy(path)
+            except (IOError, RuntimeError):
+                pass  # unusual dtype/layout -> numpy fallback
         return np.load(path)
     if path.endswith(".npz"):
         data = np.load(path)

@@ -167,9 +167,24 @@ class SegmentLocalAttention(nn.Module):
 
         out_text = out[:, :, :TL].reshape(B, C * TL, D)
 
-        out_vid = out[:, :, TL:].reshape(B, C * WF, TPF, D)
-        stitched = jnp.zeros((B, meta.num_frames, TPF, D), out.dtype)
-        stitched = stitched.at[:, jnp.asarray(window_idx.reshape(-1))].add(out_vid)
+        # Scatter-free overlap-add: window c covers frames [c*AL, c*AL+WF)
+        # with a 1-frame prefix overlap, so frames 1..AL of each window tile
+        # the timeline exactly and only each window's frame 0 adds onto the
+        # previous window's last frame. Pure slice/concat ops — the scatter
+        # form lowered to C*WF dynamic-update-slices per call (~90 ms/step at
+        # the 21-window 63 s geometry).
+        w = out[:, :, TL:].reshape(B, C, WF, TPF, D)
+        AL = cfg.attn_length
+        if cfg.prefix_temporal_length == 1:
+            nxt = jnp.concatenate([w[:, 1:, 0], jnp.zeros_like(w[:, :1, 0])], axis=1)  # [B, C, TPF, D]
+            last = w[:, :, AL] + nxt
+            body = jnp.concatenate([w[:, :, 1:AL], last[:, :, None]], axis=2)  # [B, C, AL, TPF, D]
+            stitched = jnp.concatenate([w[:, :1, 0], body.reshape(B, C * AL, TPF, D)], axis=1)
+        else:  # general prefix length: static scatter-add
+            stitched = jnp.zeros((B, meta.num_frames, TPF, D), out.dtype)
+            stitched = stitched.at[:, jnp.asarray(window_idx.reshape(-1))].add(
+                w.reshape(B, C * WF, TPF, D)
+            )
         stitched = stitched / jnp.asarray(frame_counts, out.dtype)[None, :, None, None]
         out_vid = stitched.reshape(B, meta.num_video_tokens, D)
 
