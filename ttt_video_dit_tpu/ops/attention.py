@@ -133,6 +133,10 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
     ~25-34 % slower on the attention bwd (scripts/tune_splash_bwd.py) but
     O(batch * S * F) in memory."""
     partials = batch * (S // min(_bwd_block(batch), S)) * H * S * F * 2  # bf16
+    # 4 GB was tried at the 63 s remat=none geometry (partials 3.57 GB at
+    # 1024 blocks): the fused bwd then OOMs HBM next to the un-rematted
+    # activations, while remat=full + fused (2.51 s) still loses to
+    # remat=none + separate-dq (1.58 s). 2 GB keeps the fast config viable.
     return partials <= 2 * 1024**3
 
 
