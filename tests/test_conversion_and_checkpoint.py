@@ -127,3 +127,50 @@ def test_pretrained_save_load(rng, tmp_path):
     out_a = model.apply(params, vid, text, jax.random.PRNGKey(2), bounds)
     out_b = model.apply(loaded, vid, text, jax.random.PRNGKey(2), bounds)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_curriculum_stage_handoff(rng, tmp_path):
+    """Stage-to-stage curriculum handoff: weights trained at the 3 s geometry
+    load unchanged into a longer-context (multi-scene) model and run a train
+    step there — params are geometry-independent by construction (rope tables
+    and window maps derive from SequenceMetadata at trace time), mirroring
+    the reference's checkpoint.init_state_dir flow
+    (reference: docs/training.md:28-31)."""
+    import optax
+
+    cfg3 = tiny_config(ssm_layer="ttt_mlp")
+    model3, params3, _ = _init(cfg3, rng)
+    path = str(tmp_path / "stage3s")
+    save_pretrained(path, params3)
+
+    # 37-frame 3-scene stage (the "9s" analog at tiny width).
+    cfg9 = tiny_config(ssm_layer="ttt_mlp", compressed_num_frames=37)
+    model9 = CogVideoX(cfg9)
+    B, scenes = 1, 3
+    vid = jnp.asarray(rng.standard_normal((B, 37, 16, 8, 8)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((B, scenes, 8, cfg9.text_dim)), jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    abstract9 = jax.eval_shape(
+        lambda: model9.init(jax.random.PRNGKey(0), vid, text, jax.random.PRNGKey(1), bounds)
+    )
+
+    ckpt = Checkpointer(str(tmp_path / "unused"))
+    loaded = ckpt.load_pretrained(path, abstract9)
+    # Identical leaves (no reshapes, no re-init).
+    for a, b in zip(jax.tree.leaves(params3), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # One adapter-stage (qkvo) train step at the longer geometry.
+    from ttt_video_dit_tpu.training.setup import create_train_state
+    from ttt_video_dit_tpu.training.train_step import make_train_step
+
+    trainable, _ = opt_mod.partition_params(loaded, "qkvo")
+    tx, _, _ = opt_mod.build_optimizer(trainable, lr=1e-3, lr_ssm=1e-3, lr_end=0.0,
+                                       warmup_steps=1, total_steps=10)
+    state = create_train_state(loaded, tx, "qkvo")
+    step_fn = jax.jit(make_train_step(model9, tx, 1, 0.0), donate_argnums=0)
+    batch = dict(vid=vid, text=text, sigma_lo=jnp.zeros((B,), jnp.int32),
+                 sigma_hi=jnp.full((B,), 1000, jnp.int32))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
