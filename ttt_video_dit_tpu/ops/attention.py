@@ -111,7 +111,11 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, co
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
     cap = lambda b: min(b, S if not conservative else min(S, 1024))
-    kv_compute = cap(512)
+    # The conservative profile also halves the compute tile: at 6 windows the
+    # lean 1024/512 stack still measured 16.26 MB (268 KB over the 16 MB
+    # scoped limit, seen at the 18 s stage); 256 puts every windowed stage
+    # comfortably under.
+    kv_compute = cap(512 if not conservative else 256)
     bs = splash.BlockSizes(
         block_q=cap(1024), block_kv=cap(2048), block_kv_compute=kv_compute,
         block_q_dkv=cap(bwd_block), block_kv_dkv=cap(bwd_block), block_kv_dkv_compute=kv_compute,
@@ -157,7 +161,7 @@ def _splash(q, k, v, conservative: bool = False):
     """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16), S already
     a multiple of the tuned block sizes (callers pad via _splash_padded)."""
     B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B), conservative)
+    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B), conservative or B > 1)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
@@ -175,7 +179,10 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False):
         return _splash(q, k, v, conservative)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B), conservative)
+    # Windowed stages (batch of windows > 1) always take the vmem-lean
+    # blocks: with an unaligned masked edge the fwd kernel's stack reaches
+    # 22 MB at kv2048 (seen at the 9 s stage, 3 windows, valid=18052).
+    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B), conservative or B > 1)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
