@@ -159,3 +159,27 @@ def test_scanned_sampler_matches_loop(rng):
     out_scan = sampler(jax.random.PRNGKey(7), denoise_fn, shape, scan=True)
     assert np.isfinite(np.asarray(out_scan)).all()
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop), rtol=1e-4, atol=1e-4)
+
+
+def test_denoiser_jit_reused_across_conditionings(rng):
+    """A new storyboard (new text conditioning) must NOT re-trace the
+    denoiser: the jit wrapper is cached per (model, quantize flag) and the
+    conditioning is an argument. Per-video re-compiles cost minutes on TPU."""
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+
+    cfg = tiny_config()
+    model = CogVideoX(cfg)
+    text1 = jnp.asarray(rng.standard_normal((1, 1, 8, cfg.text_dim)), jnp.float32)
+    text2 = jnp.asarray(rng.standard_normal((1, 1, 8, cfg.text_dim)), jnp.float32)
+    f1 = S.make_cfg_denoise_fn(model, {}, text1, jnp.zeros_like(text1))
+    f2 = S.make_cfg_denoise_fn(model, {}, text2, jnp.zeros_like(text2))
+    c1 = inspect_closure(f1)
+    c2 = inspect_closure(f2)
+    assert c1["_denoise"] is c2["_denoise"]
+    assert f1.core is f2.core
+
+
+def inspect_closure(fn):
+    import inspect
+
+    return inspect.getclosurevars(fn).nonlocals

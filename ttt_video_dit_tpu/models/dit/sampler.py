@@ -245,6 +245,25 @@ def _scan_sample(core, bundle, x0, steps):
     return x
 
 
+# One jitted denoiser per (model, quantize flag), NOT per conditioning: a
+# fresh jax.jit wrapper per storyboard would re-trace (and re-compile) the
+# full DiT for every video even though only the argument values change. The
+# model object is pinned in the key to keep ids unique.
+_DENOISE_JIT_CACHE: dict = {}
+
+
+def _denoise_body(model, quantize_c_noise, params, cond, table, x, a_sqrt, timestep):
+    B = x.shape[0]
+    x2 = jnp.concatenate([x, x], axis=0)
+    a = jnp.full((2 * B,), a_sqrt, jnp.float32)
+    # Quantize sigma to nearest discretization index (idx_to_sigma of
+    # sigma_to_idx); c_noise is the raw timestep unless quantized.
+    idx = jnp.argmin(jnp.abs(a[:, None] - table[None, :]), axis=1)
+    a_q = table[idx]
+    t = idx.astype(jnp.float32) if quantize_c_noise else jnp.full((2 * B,), timestep, jnp.float32)
+    return model.apply(params, x2, a_q, cond, t, method="denoise")
+
+
 def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 1000, quantize_c_noise: bool = False):
     """Build the jitted CFG-doubled denoiser evaluation.
 
@@ -260,17 +279,16 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
     # params/cond/table must enter as jit ARGUMENTS: a closed-over pytree is
     # baked into the HLO as literal constants, which multiplies the program
     # size by the model size (a 400+ MB HLO at d512; breaks compile services).
-    @jax.jit
-    def _denoise(params, cond, table, x, a_sqrt, timestep):
-        B = x.shape[0]
-        x2 = jnp.concatenate([x, x], axis=0)
-        a = jnp.full((2 * B,), a_sqrt, jnp.float32)
-        # Quantize sigma to nearest discretization index (idx_to_sigma of
-        # sigma_to_idx); c_noise is the raw timestep unless quantized.
-        idx = jnp.argmin(jnp.abs(a[:, None] - table[None, :]), axis=1)
-        a_q = table[idx]
-        t = idx.astype(jnp.float32) if quantize_c_noise else jnp.full((2 * B,), timestep, jnp.float32)
-        return model.apply(params, x2, a_q, cond, t, method="denoise")
+    key = (id(model), bool(quantize_c_noise))
+    if key not in _DENOISE_JIT_CACHE:
+        _DENOISE_JIT_CACHE[key] = (
+            model,  # pin so id() stays unique for the cache lifetime
+            jax.jit(functools.partial(_denoise_body, model, quantize_c_noise)),
+            # un-jitted body for the scanned trajectory; cached so the
+            # lax.scan path (static on this callable) also compiles once
+            functools.partial(_denoise_body, model, quantize_c_noise),
+        )
+    _denoise, _core = _DENOISE_JIT_CACHE[key][1:3]
 
     def denoise_fn(x, a_sqrt, timestep):
         return _denoise(params, cond, table, x, a_sqrt, timestep)
@@ -278,9 +296,6 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
     # Expose the raw body + argument bundle so DPMPP2MSampler can inline the
     # denoiser into its single-program lax.scan trajectory (weights stay scan
     # inputs, never literals).
-    def _core(params, cond, table, x, a_sqrt, timestep):
-        return _denoise.__wrapped__(params, cond, table, x, a_sqrt, timestep)
-
     denoise_fn.core = _core
     denoise_fn.bundle = (params, cond, table)
     return denoise_fn
