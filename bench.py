@@ -54,9 +54,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache
+    from ttt_video_dit_tpu.utils.compile_cache import enable_compile_cache, install_cache_stats
 
     enable_compile_cache()
+    cache_stats = install_cache_stats()
+    args._cache_stats = cache_stats
 
     import jax.numpy as jnp
     import numpy as np
@@ -113,10 +115,17 @@ def main():
     step_fn = jax.jit(make_train_step(model, tx, 1, 0.1), donate_argnums=0)
 
     rng = jax.random.PRNGKey(42)
+    hits0, miss0 = cache_stats["hits"], cache_stats["misses"]
     t_compile0 = time.perf_counter()
     state, metrics = step_fn(state, batch, rng)
     float(metrics["loss"])  # fences trace+compile+first step
     compile_s = time.perf_counter() - t_compile0
+    # hits/misses count persistent-cache retrievals/writes during the step
+    # compile (only compiles >= 1 s are written, so tiny aux programs don't
+    # pollute the signal). cache_hit=False means a cold environment: expect
+    # ~8 min at the flagship geometry through the remote tunnel (~1 min warm);
+    # the unrolled 42-layer graph is ~15 min cold (use --scan-layers).
+    cache_hit = cache_stats["hits"] > hits0 and cache_stats["misses"] == miss0
     for _ in range(max(args.warmup - 1, 0)):
         state, metrics = step_fn(state, batch, rng)
     # NOTE: through the remote-execution tunnel, block_until_ready returns
@@ -149,6 +158,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "loss": loss_val,
         "compile_s": round(compile_s, 1),
+        "cache_hit": cache_hit,
     }
     print(json.dumps(result))
 

@@ -143,6 +143,7 @@ struct Pool {
   std::vector<std::thread> workers;
   std::deque<std::pair<int64_t, std::string>> queue;
   std::map<int64_t, Result> done;
+  std::map<int64_t, int> pending;  // queued or in-flight job ids (count)
   std::mutex mu;
   std::condition_variable cv_task, cv_done;
   bool stop = false;
@@ -175,7 +176,11 @@ struct Pool {
       r.status = load_npy(task.second.c_str(), &r);
       {
         std::lock_guard<std::mutex> lk(mu);
+        auto it = done.find(task.first);
+        if (it != done.end()) free(it->second.data);  // duplicate id: drop stale payload
         done[task.first] = r;
+        auto pit = pending.find(task.first);
+        if (pit != pending.end() && --pit->second == 0) pending.erase(pit);
       }
       cv_done.notify_all();
     }
@@ -195,16 +200,20 @@ void nl_submit(void* pool, int64_t id, const char* path) {
   {
     std::lock_guard<std::mutex> lk(p->mu);
     p->queue.emplace_back(id, std::string(path));
+    p->pending[id]++;
   }
   p->cv_task.notify_one();
 }
 
 // Blocks until job `id` completes. On success returns 0 and transfers
-// ownership of *data to the caller (release with nl_free).
+// ownership of *data to the caller (release with nl_free). Waiting on an id
+// that was never submitted (and has no buffered result) returns -20 instead
+// of blocking forever.
 int nl_wait(void* pool, int64_t id, void** data, int64_t* shape, int32_t* ndim, int32_t* dtype) {
   Pool* p = static_cast<Pool*>(pool);
   std::unique_lock<std::mutex> lk(p->mu);
-  p->cv_done.wait(lk, [&] { return p->done.count(id) > 0; });
+  p->cv_done.wait(lk, [&] { return p->done.count(id) > 0 || p->pending.count(id) == 0; });
+  if (p->done.count(id) == 0) return -20;  // unknown id
   Result r = p->done[id];
   p->done.erase(id);
   lk.unlock();

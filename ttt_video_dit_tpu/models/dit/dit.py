@@ -159,9 +159,12 @@ class SegmentLocalAttention(nn.Module):
         k = maybe_shard(k, DATA, None, TENSOR, None)
         v = maybe_shard(v, DATA, None, TENSOR, None)
 
-        # Under scan-over-layers splash shares scoped vmem with the loop's
-        # remat fusions; use the vmem-lean block profile there.
-        attn = attention(q, k, v, conservative=cfg.scan_layers)  # [B*C, S, H, F]
+        # All C windows go through ONE splash call (folded into the kernel's
+        # head grid, ops/attention.py:_splash) so every curriculum stage gets
+        # the tuned block profile. Under scan-over-layers splash shares
+        # scoped vmem with the loop's remat fusions; use the vmem-lean block
+        # profile there.
+        attn = attention(q, k, v, conservative=cfg.scan_layers, windows=C)  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)
         out = dense("o")(attn).reshape(B, C, S, D)
 

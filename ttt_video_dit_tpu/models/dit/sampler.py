@@ -83,11 +83,14 @@ class DynamicCFG:
     def scale_at(self, step_index: int) -> float:
         return 1.0 + self.scale * (1.0 - math.cos(math.pi * (step_index / self.num_steps) ** self.exp)) / 2.0
 
-    def combine(self, denoised_doubled, step_index: int):
-        """Split the CFG-doubled batch and apply guidance."""
+    def combine(self, denoised_doubled, scale: float):
+        """Split the CFG-doubled batch and apply guidance with a precomputed
+        per-step scale. The sampler routes every combine through this method
+        (loop path), so a guider subclass can override the split/merge; the
+        single-program lax.scan path assumes linear-combine semantics and is
+        only taken with this base implementation (see DPMPP2MSampler)."""
         x_u, x_c = jnp.split(denoised_doubled, 2, axis=0)
-        s = self.scale_at(step_index)
-        return x_u + s * (x_c - x_u)
+        return x_u + scale * (x_c - x_u)
 
 
 # ----------------------------------------------------------------- sampler
@@ -184,6 +187,9 @@ class DPMPP2MSampler:
             scan is True
             and progress_cb is None
             and getattr(denoise_fn, "core", None) is not None
+            # The scan body hard-codes linear CFG combine; a guider subclass
+            # with custom combine semantics must take the loop path.
+            and type(self.guider).combine is DynamicCFG.combine
         )
         rng0 = rng
         rng, steps, n = self._step_tables(rng)
@@ -197,8 +203,7 @@ class DPMPP2MSampler:
         old_denoised = jnp.zeros_like(x)
         for i in range(n):
             denoised2 = denoise_fn(x, float(steps["a"][i]), float(steps["t"][i]))
-            x_u, x_c = jnp.split(denoised2, 2, axis=0)
-            denoised = (x_u + float(steps["scale"][i]) * (x_c - x_u)).astype(jnp.float32)
+            denoised = self.guider.combine(denoised2, float(steps["scale"][i])).astype(jnp.float32)
 
             if steps["last"][i]:
                 x = denoised
@@ -248,8 +253,11 @@ def _scan_sample(core, bundle, x0, steps):
 # One jitted denoiser per (model, quantize flag), NOT per conditioning: a
 # fresh jax.jit wrapper per storyboard would re-trace (and re-compile) the
 # full DiT for every video even though only the argument values change. The
-# model object is pinned in the key to keep ids unique.
-_DENOISE_JIT_CACHE: dict = {}
+# model object is pinned in the key to keep ids unique; the cache is a small
+# LRU so a long-lived process constructing many models cannot grow it (and
+# its pinned models / compiled executables) without bound.
+_DENOISE_JIT_CACHE_MAX = 4
+_DENOISE_JIT_CACHE: dict = {}  # insertion-ordered; oldest evicted past MAX
 
 
 def _denoise_body(model, quantize_c_noise, params, cond, table, x, a_sqrt, timestep):
@@ -281,6 +289,8 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
     # size by the model size (a 400+ MB HLO at d512; breaks compile services).
     key = (id(model), bool(quantize_c_noise))
     if key not in _DENOISE_JIT_CACHE:
+        while len(_DENOISE_JIT_CACHE) >= _DENOISE_JIT_CACHE_MAX:
+            _DENOISE_JIT_CACHE.pop(next(iter(_DENOISE_JIT_CACHE)))
         _DENOISE_JIT_CACHE[key] = (
             model,  # pin so id() stays unique for the cache lifetime
             jax.jit(functools.partial(_denoise_body, model, quantize_c_noise)),
@@ -288,6 +298,8 @@ def make_cfg_denoise_fn(model, params, text_emb, neg_emb, sigma_interval: int = 
             # lax.scan path (static on this callable) also compiles once
             functools.partial(_denoise_body, model, quantize_c_noise),
         )
+    else:  # refresh LRU position
+        _DENOISE_JIT_CACHE[key] = _DENOISE_JIT_CACHE.pop(key)
     _denoise, _core = _DENOISE_JIT_CACHE[key][1:3]
 
     def denoise_fn(x, a_sqrt, timestep):

@@ -96,10 +96,10 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, co
     scoped-vmem stack, which full-block compute can exceed when surrounding
     remat fusions share the budget (seen at 42 layers).
 
-    ``bwd_block`` is 2048 only for single-window attention (flagship 3 s);
-    windowed stages (batch of windows > 1, e.g. 21 at 63 s under remat=full)
-    blow the 16 MB scoped-vmem stack at 2048x2048 dkv (measured 45 MB) and
-    keep the proven 1024 blocks.
+    ``bwd_block`` is 2048 when the kernel is called once per data-batch
+    element (the head grid absorbs attention windows, see _splash); a vmapped
+    batch dimension > 1 blew the 16 MB scoped-vmem stack at 2048x2048 dkv
+    (measured 45 MB) and keeps the proven 1024 blocks.
 
     ``conservative`` caps every block at 1024: under scan-over-layers the
     kernel shares the scoped-vmem stack with the surrounding while-loop remat
@@ -130,13 +130,23 @@ def _bwd_block(batch: int) -> int:
     return 2048 if batch == 1 else 1024
 
 
-def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
+def _eff_bwd_block(batch: int, S: int, conservative: bool) -> int:
+    """The block_kv_dkv the kernel will actually use: _bwd_block capped by S
+    and by the conservative profile's 1024 ceiling (mirrors _splash_spec's
+    cap())."""
+    b = min(_bwd_block(batch), S)
+    return min(b, 1024) if conservative else b
+
+
+def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int) -> bool:
     """The fused splash backward materializes per-kv-block dQ partials
     [batch, S/block_kv_dkv, H, S, F]; cap that stack at ~2 GB (at 21 x 63 s
-    windows it reaches multiple GB and OOMs v5e). The separate-dq backward is
-    ~25-34 % slower on the attention bwd (scripts/tune_splash_bwd.py) but
-    O(batch * S * F) in memory."""
-    partials = batch * (S // min(_bwd_block(batch), S)) * H * S * F * 2  # bf16
+    windows it reaches multiple GB and OOMs v5e). ``bwd_block`` must be the
+    block size the kernel will actually run (_eff_bwd_block) — the
+    conservative profile halves it, doubling the partials stack. The
+    separate-dq backward is ~25-34 % slower on the attention bwd
+    (scripts/tune_splash_bwd.py) but O(batch * S * F) in memory."""
+    partials = batch * (S // bwd_block) * H * S * F * 2  # bf16
     # 4 GB was tried at the 63 s remat=none geometry (partials 3.57 GB at
     # 1024 blocks): the fused bwd then OOMs HBM next to the un-rematted
     # activations, while remat=full + fused (2.51 s) still loses to
@@ -144,11 +154,18 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int) -> bool:
     return partials <= 2 * 1024**3
 
 
+# Tests monkeypatch this to True to run the splash kernels on CPU in pallas
+# interpret mode (tiny shapes) — e.g. folded-window parity vs naive softmax.
+_INTERPRET = False
+
+
 def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, conservative: bool = False):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
     mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, conservative)
-    return splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
+    return splash.make_splash_mha(
+        mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs, interpret=_INTERPRET
+    )
 
 
 # Padding granularity: the lcm of the tuned q/kv block sizes in _splash_spec
@@ -157,49 +174,76 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, 
 _SPLASH_BLOCK = 2048
 
 
-def _splash(q, k, v, conservative: bool = False):
-    """Pallas splash (flash) attention: q/k/v [B, S, H, F] (bf16), S already
-    a multiple of the tuned block sizes (callers pad via _splash_padded)."""
-    B, S, H, F = q.shape
-    kernel = _splash_kernel(S, H, S, _fused_bwd_ok(B, S, H, F), _bwd_block(B), conservative or B > 1)
+def _splash(q, k, v, conservative: bool = False, windows: int = 1):
+    """Pallas splash (flash) attention: q/k/v [B*windows, S, H, F] (bf16), S
+    already a multiple of the tuned block sizes (callers pad via
+    _splash_padded).
+
+    ``windows`` folds a leading batch-of-attention-windows dimension into the
+    kernel's native head grid: [B*C, S, H, F] -> one call per data-batch
+    element with C*H pseudo-heads, every pseudo-head carrying the same lazy
+    mask (mask_info dedupes identical head masks, so trace cost is flat).
+    This replaces the old jax.vmap-over-windows dispatch, which forced the
+    vmem-lean block profile (vmapped kernels measured 22-45 MB scoped-vmem
+    stacks at the tuned 2048 blocks) — the head grid is the dimension the
+    kernel already iterates, so the per-program footprint is identical to the
+    single-window flagship case and the tuned blocks apply at every
+    curriculum stage. (The alternative — flattening windows into one C*S
+    sequence under a block-diagonal mask — grows the fused backward's dense
+    dQ-partials scratch [kv_blocks, H, S, F] quadratically in C; the head
+    fold keeps it linear.)"""
+    BC, S, H, F = q.shape
+    assert BC % windows == 0, f"batch {BC} not divisible by windows {windows}"
+    B = BC // windows
+    Ht = windows * H
+    lean = conservative or B > 1
+    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean))
+    kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
-    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))  # [B, H, S, F]
+    # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
+    # free: C and H are adjacent after the transpose).
+    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, S, F)
     out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out.reshape(BC, H, S, F), (0, 2, 1, 3))
 
 
-def _splash_padded(q, k, v, block: int, conservative: bool = False):
+def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int = 1):
     """Splash attention at an arbitrary S: pad the sequence up to a multiple
     of ``block`` and mask the padded KV columns (exact — real rows never see
     pad tokens). Larger blocks amortize per-block softmax bookkeeping, which
     dominates at head_dim 64 where the matmuls are small."""
-    B, S, H, F = q.shape
+    BC, S, H, F = q.shape
     Sp = -(-S // block) * block
     if Sp == S:
-        return _splash(q, k, v, conservative)
+        return _splash(q, k, v, conservative, windows)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    # Windowed stages (batch of windows > 1) always take the vmem-lean
-    # blocks: with an unaligned masked edge the fwd kernel's stack reaches
-    # 22 MB at kv2048 (seen at the 9 s stage, 3 windows, valid=18052).
-    kernel = _splash_kernel(Sp, H, S, _fused_bwd_ok(B, Sp, H, F), _bwd_block(B), conservative or B > 1)
+    B = BC // windows
+    Ht = windows * H
+    lean = conservative or B > 1
+    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean))
+    kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
-    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3))
+    to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
-    return jnp.transpose(out, (0, 2, 1, 3))[:, :S]
+    return jnp.transpose(out.reshape(BC, H, Sp, F), (0, 2, 1, 3))[:, :S]
 
 
-def attention(q, k, v, conservative: bool = False):
+def attention(q, k, v, conservative: bool = False, windows: int = 1):
     """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F].
 
     Long windows on TPU take the splash (flash) kernel, padded up to a
     multiple of the tuned block size with the pad KV columns masked — large
     blocks amortize the per-block softmax bookkeeping that dominates at
     head_dim 64 (1.55x over the divisor-constrained block choice on v5e).
-    ``conservative`` selects vmem-lean 1024 blocks (scan-over-layers)."""
+    ``conservative`` selects vmem-lean 1024 blocks (scan-over-layers).
+    ``windows`` marks a leading batch-of-windows factor (batch = B*windows):
+    on the splash path the windows fold into the kernel's head grid (one
+    call, tuned blocks) instead of a vmap; the non-splash paths batch over
+    them natively."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
     if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
-        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative)
+        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative, windows=windows)
     return _chunked(q, k, v)
