@@ -35,6 +35,7 @@ def apply_token_mode(text: str, mode: str) -> str:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--t5-dir", required=True)
+    parser.add_argument("--t5-backend", default="auto", choices=["auto", "flax", "torch"])
     parser.add_argument("--input-jsonl", required=True)
     parser.add_argument("--output-path", required=True)
     parser.add_argument("--max-length", type=int, default=493)
@@ -44,9 +45,9 @@ def main() -> None:
     parser.add_argument("--name-key", default="name", help="annotation field holding the output file stem")
     args = parser.parse_args()
 
-    from ttt_video_dit_tpu.models.t5 import T5TextEncoder
+    from ttt_video_dit_tpu.models.t5 import load_text_encoder
 
-    encoder = T5TextEncoder(args.t5_dir)
+    encoder = load_text_encoder(args.t5_dir, backend=args.t5_backend)
 
     with open(args.input_jsonl) as f:
         annotations = [json.loads(line) for line in f if line.strip()]

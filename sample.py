@@ -16,6 +16,10 @@ from __future__ import annotations
 
 import os
 
+from ttt_video_dit_tpu.utils.tpu_flags import ensure_tpu_flags
+
+ensure_tpu_flags()  # before backend init (scoped-vmem limit for splash)
+
 import jax
 import numpy as np
 
@@ -64,9 +68,12 @@ def main(job_config) -> None:
     # --- text encoder ----------------------------------------------------
     encoder = None
     if eval_cfg.t5_model_dir:
-        from ttt_video_dit_tpu.models.t5 import T5TextEncoder
+        from ttt_video_dit_tpu.models.t5 import load_text_encoder
 
-        encoder = T5TextEncoder(eval_cfg.t5_model_dir, dtype=eval_cfg.dtype)
+        encoder = load_text_encoder(
+            eval_cfg.t5_model_dir, dtype=eval_cfg.dtype, backend=eval_cfg.t5_backend
+        )
+        logger.write(f"text encoder backend: {type(encoder).__name__}")
     else:
         logger.write("WARNING: no --eval.t5_model_dir; using random text embeddings (smoke mode)")
 

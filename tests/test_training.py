@@ -196,12 +196,16 @@ def test_stats_snapshot_roundtrip(tmp_path):
     assert resumed.stats == logger.stats
 
 
-def test_sharded_train_step_emits_expected_collectives(rng):
+def test_sharded_train_step_emits_expected_collectives(rng, capfd):
     """Structural SPMD check: GSPMD must implement the shardings with real
     collectives — all-gather for fsdp-sharded params entering compute,
     reduce-scatter (or fused all-reduce) for their gradients, and all-reduce
     for the replica-axis gradient/loss reduction (the GSPMD analog of the
-    reference's NCCL FSDP/DDP traffic, reference: ttt/infra/parallelisms.py)."""
+    reference's NCCL FSDP/DDP traffic, reference: ttt/infra/parallelisms.py).
+    Also pins partitioning *quality*: the partitioner must not fall back to
+    replicate-and-reslice ("Involuntary full rematerialization" — the adaLN
+    out-dim sharding used to trigger it on every layer's modulation grads,
+    parallel/sharding.py), and the all-gather count must stay bounded."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     cfg, model = _build(adapter="sft", num_heads=4)
@@ -219,8 +223,19 @@ def test_sharded_train_step_emits_expected_collectives(rng):
         )
         state = create_train_state(params, tx, "sft")
         step_fn = jax.jit(make_train_step(model, tx, 1, 0.0), donate_argnums=0)
+        capfd.readouterr()  # drop unrelated warm-up output
         hlo = step_fn.lower(state, batch, jax.random.PRNGKey(7)).compile().as_text()
+        spmd_err = capfd.readouterr().err
 
     assert "all-gather" in hlo, "fsdp param all-gather missing from compiled step"
     assert ("reduce-scatter" in hlo) or ("all-reduce" in hlo), "gradient reduction missing"
     assert "all-reduce" in hlo, "replica-axis all-reduce missing"
+    assert "Involuntary full rematerialization" not in spmd_err, (
+        "GSPMD replicate-and-reslice fallback:\n"
+        + "\n".join(l for l in spmd_err.splitlines() if "Involuntary" in l)[:2000]
+    )
+    # Measured 106 at this 2-layer geometry (fwd + bwd re-gather per fsdp
+    # param group); a bound catches accidental per-token or per-microbatch
+    # re-gather regressions, which show up as hundreds of extra gathers.
+    n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
+    assert 0 < n_ag <= 140, f"unexpected all-gather count {n_ag}"

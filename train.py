@@ -16,6 +16,10 @@ from __future__ import annotations
 
 import os
 
+from ttt_video_dit_tpu.utils.tpu_flags import ensure_tpu_flags
+
+ensure_tpu_flags()  # before backend init (scoped-vmem limit for splash)
+
 import jax
 
 

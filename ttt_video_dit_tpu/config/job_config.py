@@ -115,6 +115,13 @@ class EvalSection:
 
     txt_maxlen: int = field(default=498, metadata={"help": "Maximum token length for T5 input"})
     t5_model_dir: Optional[str] = field(default=None, metadata={"help": "Directory path to the T5 model"})
+    t5_backend: str = field(
+        default="auto",
+        metadata={
+            "help": "Text-encoder backend: flax runs on-device (TPU), torch on host CPU",
+            "choices": ["auto", "flax", "torch"],
+        },
+    )
 
 
 @dataclass

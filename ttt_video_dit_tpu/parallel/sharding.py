@@ -48,11 +48,17 @@ PARAM_RULES: Sequence[Tuple[str, Tuple]] = (
     # dit.py:56-72) but sharded over fsdp.
     (r"mlp/layer1/kernel$", (FSDP, None)),
     (r"mlp/layer2/kernel$", (None, FSDP)),
-    # adaLN / time embed / final / text proj: shard the big dim over fsdp.
-    (r"(adaLN_modulation|pre_seq_adaLN_modulation|pre_mlp_adaLN_modulation)/kernel$", (None, FSDP)),
+    # adaLN / time embed: shard the INPUT dim over fsdp. Out-dim sharding
+    # (None, FSDP) made the modulation outputs/grads feature-sharded while
+    # the token-broadcast side keeps them batch-sharded, and GSPMD could not
+    # convert between the two tilings (transposed device order) without an
+    # "Involuntary full rematerialization" replicate-and-reslice on every
+    # layer's adaLN grad concat. In-dim sharding contracts the grad einsum
+    # over the batch dim both operands already shard — no reshard at all.
+    (r"(adaLN_modulation|pre_seq_adaLN_modulation|pre_mlp_adaLN_modulation)/kernel$", (FSDP, None)),
     (r"patch_embedding/vid_proj/kernel$", (None, None, None, FSDP)),
     (r"patch_embedding/text_proj/kernel$", (FSDP, None)),
-    (r"time_embed_\d/kernel$", (None, FSDP)),
+    (r"time_embed_\d/kernel$", (FSDP, None)),
     (r"final_layer/linear/kernel$", (FSDP, None)),
     # Everything else (biases, LN affines, gates): replicated.
 )
