@@ -64,3 +64,37 @@ def test_attention_dispatch_accepts_windows(rng):
     q = jnp.asarray(rng.standard_normal((6, 64, 2, 16)), jnp.float32)
     out = attn_mod.attention(q, q, q, windows=3)
     assert out.shape == q.shape
+
+
+def test_fused_bwd_budget_decision_matrix():
+    """Pin the fused-vs-separate-dq backward decisions to the measured cases
+    (padded-byte partials vs a params-aware HBM budget):
+    - d3072x2L flagship remat=none: fused (2.03 GB padded, measured fitting)
+    - d3072x4L unrolled remat=block: fused (same stack; remat frees room)
+    - d3072x4L scan-layers (conservative 1024 blocks): separate-dq (3.8 GB
+      padded OOMed v5e next to the 13 GB training state)
+    - 63 s d256 folded windows (84 pseudo-heads): fused (3.56 GB padded,
+      measured fitting — the 1.30x round-3 step-time win)
+    - 63 s d512 (168 pseudo-heads): separate-dq (7.1 GB padded)
+    """
+    from ttt_video_dit_tpu.config.model_config import ModelConfig, VIDEO_DURATION_CONFIGS
+
+    S, F = 18432, 64
+    p3072 = lambda L: ModelConfig(model_dim=3072, num_heads=48, num_layers=L,
+                                  text_dim=4096, **VIDEO_DURATION_CONFIGS["3sec"]).approx_param_count()
+    # Sanity: the estimate is in the right ballpark (~170M/layer at d3072:
+    # 16 D^2 matmuls + adaLN; the 4L OOM dump's 7.89 GB fp32+Adam arguments
+    # imply ~650M real params, estimate gives 712M).
+    assert 3.0e8 < p3072(2) < 5.0e8, p3072(2)
+
+    ok = attn_mod._fused_bwd_ok
+    eff = attn_mod._eff_bwd_block
+    assert ok(1, S, 48, F, eff(1, S, False), p3072(2))          # flagship 2L
+    assert ok(1, S, 48, F, eff(1, S, False), p3072(4))          # 4L unrolled
+    assert not ok(1, S, 48, F, eff(1, S, True), p3072(4))       # 4L scan-layers
+    p256 = ModelConfig(model_dim=256, num_heads=4, num_layers=2, text_dim=4096,
+                       **VIDEO_DURATION_CONFIGS["63sec"]).approx_param_count()
+    assert ok(1, S, 21 * 4, F, eff(1, S, False), p256)          # 63 s d256 folded
+    p512 = ModelConfig(model_dim=512, num_heads=8, num_layers=2, text_dim=4096,
+                       **VIDEO_DURATION_CONFIGS["63sec"]).approx_param_count()
+    assert not ok(1, S, 21 * 8, F, eff(1, S, False), p512)      # 63 s d512 folded

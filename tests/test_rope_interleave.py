@@ -114,3 +114,96 @@ def test_rope_prefixed_matches_slice_concat(rng):
     out = apply_rope_prefixed(x, cos, sin, 6, seq_axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out[:, :6]), np.asarray(x[:, :6]))
+
+
+def _reverse_prep(x, meta):
+    """The pre-round-3 explicit reverse prep (reference:
+    ttt/models/cogvideo/dit.py:230-242): reversed text-scene order +
+    token-flipped video, in the [text, video] layout."""
+    stl = meta.seq_text_length
+    text = x[..., :stl, :]
+    if meta.is_multiscene:
+        B, L, E = text.shape
+        text = jnp.flip(text.reshape(B, meta.num_chunks, L // meta.num_chunks, E), axis=1).reshape(B, L, E)
+    return jnp.concatenate([text, jnp.flip(x[..., stl:, :], axis=-2)], axis=-2)
+
+
+def test_interleave_reverse_composes_prep(rng):
+    """interleave(x, meta, reverse=True) == interleave(reverse_prep(x), meta)
+    — the composed gather must equal the two-step form it replaced."""
+    for meta in (_meta(), _meta(text_length=2, num_frames=7, num_chunks=1, tokens_per_frame=3)):
+        L = meta.seq_text_length + meta.num_video_tokens
+        x = jnp.asarray(rng.standard_normal((2, L, 5)).astype(np.float32))
+        composed = interleave(x, meta, reverse=True)
+        two_step = interleave(_reverse_prep(x, meta), meta)
+        np.testing.assert_array_equal(np.asarray(composed), np.asarray(two_step))
+
+
+def test_interleave_reverse_round_trip(rng):
+    """undo_interleave(·, reverse=True) inverts interleave(·, reverse=True)
+    back to the ORIGINAL layout (no separate un-flip pass)."""
+    for meta in (_meta(), _meta(text_length=2, num_frames=7, num_chunks=1, tokens_per_frame=3)):
+        L = meta.seq_text_length + meta.num_video_tokens
+        x = jnp.asarray(rng.standard_normal((2, L, 5)).astype(np.float32))
+        out = undo_interleave(interleave(x, meta, reverse=True), meta, reverse=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_layer_composed_reverse_matches_explicit_prep(rng):
+    """TTTLayer(x, meta, reverse=True) == unprep(TTTLayer(prep(x), meta)) —
+    the composed reverse direction reproduces the explicit flip/concat path
+    (values AND grads), on the scan-oracle path and the fused-preproc
+    interpret path, single- and multi-scene."""
+    import jax
+
+    from ttt_video_dit_tpu.config.model_config import ModelConfig
+    from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
+    from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
+
+    metas = [
+        SequenceMetadata(text_length=8, num_frames=7, num_chunks=3,
+                         tokens_per_frame=16, latent_height=8, latent_width=8),
+        SequenceMetadata(text_length=8, num_frames=3, num_chunks=1,
+                         tokens_per_frame=16, latent_height=8, latent_width=8),
+    ]
+    cfg_kw = dict(
+        model_dim=64, num_heads=4, num_layers=1, ssm_layer="ttt_mlp",
+        mini_batch_size=8, latent_height=8, latent_width=8, text_dim=32,
+        time_embed_dim=32, scan_checkpoint_group_size=4, dtype="float32",
+    )
+    cfgs = [ModelConfig(use_kernel=False, **cfg_kw),
+            ModelConfig(use_kernel=True, fuse_ttt_preproc=True, **cfg_kw)]
+
+    ttt_mlp_kernel._FORCE_INTERPRET, saved = True, ttt_mlp_kernel._FORCE_INTERPRET
+    try:
+        for meta in metas:
+            L = meta.seq_text_length + meta.num_video_tokens
+            x = jnp.asarray(rng.standard_normal((2, L, 64)), jnp.float32)
+            # Position-dependent loss weight: a permutation-invariant loss
+            # (e.g. sum of squares) would not catch output-layout mistakes.
+            w = jnp.asarray(rng.standard_normal((2, L, 64)), jnp.float32)
+            for cfg in cfgs:
+                layer = TTTLayer(cfg)
+                params = layer.init(jax.random.PRNGKey(0), x, meta)
+
+                def loss_new(p):
+                    return jnp.sum(layer.apply(p, x, meta, reverse=True) * w)
+
+                def loss_old(p):
+                    out = layer.apply(p, _reverse_prep(x, meta), meta)
+                    return jnp.sum(_reverse_prep(out, meta) * w)  # prep is an involution
+
+                v_new, g_new = jax.value_and_grad(loss_new)(params)
+                v_old, g_old = jax.value_and_grad(loss_old)(params)
+                np.testing.assert_allclose(float(v_new), float(v_old), rtol=1e-5)
+                for (ka, a), (kb, b) in zip(
+                    jax.tree_util.tree_flatten_with_path(g_old)[0],
+                    jax.tree_util.tree_flatten_with_path(g_new)[0],
+                ):
+                    assert str(ka) == str(kb)
+                    scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+                    np.testing.assert_allclose(
+                        np.asarray(b), np.asarray(a), rtol=0, atol=5e-5 * scale,
+                        err_msg=f"{ka} kernel={cfg.use_kernel} chunks={meta.num_chunks}")
+    finally:
+        ttt_mlp_kernel._FORCE_INTERPRET = saved

@@ -119,6 +119,18 @@ class ModelConfig:
         """Number of 3-second attention segments in the configured duration."""
         return max(1, (self.compressed_num_frames - self.prefix_temporal_length) // self.attn_length)
 
+    def approx_param_count(self) -> int:
+        """Rough total parameter count (dominant matmul kernels only) — used
+        to size the splash fused-backward scratch budget against the HBM the
+        training state occupies (ops/attention.py:_fused_bwd_ok). Per layer:
+        attention q/k/v/o (4 D^2) + MLP (8 D^2) + TTT wq/wk/wv/wo (4 D^2) +
+        adaLN vid/text modulations (12 D T_e) + TTT fast weights (8 F^2 H).
+        Bias/norm/gate terms are noise at these widths."""
+        D, L, Te, F, H = self.model_dim, self.num_layers, self.time_embed_dim, self.head_dim, self.num_heads
+        per_layer = 16 * D * D + 12 * D * Te + 8 * F * F * H
+        stem = self.text_dim * D + 2 * Te * Te + 4 * self.in_channels * D
+        return L * per_layer + stem
+
     @classmethod
     def get_preset(cls, preset: str, video_length: str, job_config: "JobConfig | None" = None) -> "ModelConfig":
         if preset not in PREDEFINED_CONFIGS:

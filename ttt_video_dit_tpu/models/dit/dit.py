@@ -28,7 +28,6 @@ import numpy as np
 from ttt_video_dit_tpu.config.model_config import ModelConfig
 from ttt_video_dit_tpu.models.dit.schedule import timestep_embedding
 from ttt_video_dit_tpu.models.sequence import SequenceMetadata
-from ttt_video_dit_tpu.models.ttt.interleave import reverse_text_chunks
 from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
 from ttt_video_dit_tpu.ops.attention import attention
 from ttt_video_dit_tpu.ops.ln import gelu_tanh
@@ -164,7 +163,8 @@ class SegmentLocalAttention(nn.Module):
         # the tuned block profile. Under scan-over-layers splash shares
         # scoped vmem with the loop's remat fusions; use the vmem-lean block
         # profile there.
-        attn = attention(q, k, v, conservative=cfg.scan_layers, windows=C)  # [B*C, S, H, F]
+        attn = attention(q, k, v, conservative=cfg.scan_layers, windows=C,
+                         param_count=cfg.approx_param_count())  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)
         out = dense("o")(attn).reshape(B, C, S, D)
 
@@ -217,30 +217,26 @@ class SeqModelingBlock(nn.Module):
         cfg = self.config
         stl = meta.seq_text_length
 
-        def run_ssm(mdl, x):
+        def run_ssm_fwd(mdl, x):
             return mdl.ssm(x, meta)
 
-        fwd = nn.remat(run_ssm) if cfg.remat_forward_ssm else run_ssm
-        rev = nn.remat(run_ssm) if cfg.remat_reverse_ssm else run_ssm
+        def run_ssm_rev(mdl, x):
+            # The reverse prep (reversed text-scene order + token-flipped
+            # video, reference: ttt/models/cogvideo/dit.py:230-242) is
+            # composed into the TTT layer's interleave permutation — one
+            # gather pass each way instead of flip+concat+interleave; the
+            # layer returns the original layout.
+            return mdl.ssm(x, meta, reverse=True)
+
+        fwd = nn.remat(run_ssm_fwd) if cfg.remat_forward_ssm else run_ssm_fwd
+        rev = nn.remat(run_ssm_rev) if cfg.remat_reverse_ssm else run_ssm_rev
 
         residual = emb
         out = fwd(self, emb)
         emb = self._gate(self.forward_ssm_gating_text, self.forward_ssm_gating_video, residual, out, stl)
 
         residual = emb
-        text = emb[:, :stl]
-        if meta.is_multiscene:
-            text = reverse_text_chunks(text, meta.num_chunks)
-        video = jnp.flip(emb[:, stl:], axis=1)
-
-        out = rev(self, jnp.concatenate([text, video], axis=1))
-
-        out_text = out[:, :stl]
-        if meta.is_multiscene:
-            out_text = reverse_text_chunks(out_text, meta.num_chunks)
-        out_video = jnp.flip(out[:, stl:], axis=1)
-        out = jnp.concatenate([out_text, out_video], axis=1)
-
+        out = rev(self, emb)
         return self._gate(self.backward_ssm_gating_text, self.backward_ssm_gating_video, residual, out, stl)
 
     def __call__(self, vid_emb, text_emb, meta: SequenceMetadata):

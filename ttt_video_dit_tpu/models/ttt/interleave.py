@@ -15,40 +15,65 @@ import jax.numpy as jnp
 from ttt_video_dit_tpu.models.sequence import SequenceMetadata
 
 
-def interleave(x, meta: SequenceMetadata):
+def interleave(x, meta: SequenceMetadata, reverse: bool = False):
     """[..., L, E] with L = seq_text_length + num_video_tokens, laid out as
     [text_0..text_{C-1}, video] -> [text_0, video_0, ..., text_{C-1}, video_{C-1}].
+
+    With ``reverse=True`` this composes the reverse-direction sequence prep
+    (text scenes in reverse order, video token-flipped — reference:
+    ttt/models/cogvideo/dit.py:213-217,224-266) with the interleave into ONE
+    slice/flip/concat pass: the output equals
+    ``interleave(concat([reverse_text_chunks(text), flip(video)]))`` without
+    materializing the flipped intermediate. For single-scene sequences the
+    reverse form is ``[text, flip(video)]``.
 
     Works on any rank as long as the token axis is -2.
     """
     if not meta.is_multiscene:
-        return x
+        if not reverse:
+            return x
+        stl = meta.seq_text_length
+        return jnp.concatenate(
+            [x[..., :stl, :], jnp.flip(x[..., stl:, :], axis=-2)], axis=-2
+        )
     TL, C = meta.text_length, meta.num_chunks
     stl = meta.seq_text_length
 
     text = x[..., :stl, :]
     video = x[..., stl:, :]
+    Lv = x.shape[-2] - stl
 
     video_init = meta.init_offset - TL  # video tokens in the first scene
     video_base = meta.base_offset - TL  # video tokens per later scene
 
     pieces = []
     for i in range(C):
-        t = text[..., i * TL : (i + 1) * TL, :]
-        if i == 0:
-            v = video[..., :video_init, :]
+        ti = (C - 1 - i) if reverse else i
+        t = text[..., ti * TL : (ti + 1) * TL, :]
+        n = video_init if i == 0 else video_base
+        start = 0 if i == 0 else video_init + (i - 1) * video_base
+        if reverse:
+            # Scene i of the reversed layout holds flip(video)[start:start+n]
+            # == flip(video[Lv-start-n : Lv-start]).
+            v = jnp.flip(video[..., Lv - start - n : Lv - start, :], axis=-2)
         else:
-            start = video_init + (i - 1) * video_base
-            v = video[..., start : start + video_base, :]
+            v = video[..., start : start + n, :]
         pieces.append(t)
         pieces.append(v)
     return jnp.concatenate(pieces, axis=-2)
 
 
-def undo_interleave(x, meta: SequenceMetadata):
-    """Inverse of :func:`interleave` (reference: ttt/models/ssm/ttt_layer.py:188-217)."""
+def undo_interleave(x, meta: SequenceMetadata, reverse: bool = False):
+    """Inverse of :func:`interleave` for the same ``reverse`` flag
+    (reference: ttt/models/ssm/ttt_layer.py:188-217); with ``reverse=True``
+    the output is back in the ORIGINAL [text_0..text_{C-1}, video] layout."""
     if not meta.is_multiscene:
-        return x
+        if not reverse:
+            return x
+        stl = meta.seq_text_length
+        return jnp.concatenate(
+            [x[..., :stl, :], jnp.flip(x[..., stl:, :], axis=-2)], axis=-2
+        )
     TL, C = meta.text_length, meta.num_chunks
 
     texts, videos = [], []
@@ -59,8 +84,15 @@ def undo_interleave(x, meta: SequenceMetadata):
             start = meta.init_offset + (i - 1) * meta.base_offset
             end = meta.init_offset + i * meta.base_offset
         scene = x[..., start:end, :]
-        texts.append(scene[..., :TL, :])
-        videos.append(scene[..., TL:, :])
+        t, v = scene[..., :TL, :], scene[..., TL:, :]
+        if reverse:
+            v = jnp.flip(v, axis=-2)
+        texts.append(t)
+        videos.append(v)
+    if reverse:
+        # Scene i carried text chunk C-1-i and the (C-1-i)-from-the-end video
+        # slice; reading scenes back-to-front restores original order.
+        texts, videos = texts[::-1], videos[::-1]
     return jnp.concatenate(texts + videos, axis=-2)
 
 

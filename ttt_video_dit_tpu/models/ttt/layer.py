@@ -104,7 +104,16 @@ class TTTLayer(nn.Module):
         eta = lr / cfg.mini_batch_size
         return eta.reshape(B, cfg.num_heads, L // cfg.mini_batch_size, cfg.mini_batch_size)
 
-    def __call__(self, hidden_states, meta: SequenceMetadata):
+    def __call__(self, hidden_states, meta: SequenceMetadata, reverse: bool = False):
+        """One TTT direction. ``reverse=True`` runs the reverse-direction scan
+        directly from the ORIGINAL sequence layout: the reverse prep (text
+        scenes reversed, video flipped — reference:
+        ttt/models/cogvideo/dit.py:230-242) is composed into the interleave
+        permutation (one gather pass instead of flip+concat+interleave), and
+        the output is un-composed back to the original layout. Rope stays
+        position-based in the reversed pre-interleave layout exactly as the
+        reference applies it (ttt/models/ssm/ttt_layer.py:271-276): video
+        slot j gets angle j, i.e. token p gets angle L_vid-1-p."""
         cfg = self.config
         B, L, D = hidden_states.shape
         H, F, CS = cfg.num_heads, cfg.head_dim, cfg.mini_batch_size
@@ -136,7 +145,14 @@ class TTTLayer(nn.Module):
             # only (global positions over the full video).
             norm = lambda x: (x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)).astype(x.dtype)
             XQ, XK = norm(XQ), norm(XK)
-            rope = lambda x: apply_rope_prefixed(x, cos, sin, stl, seq_axis=1)
+            cos_r, sin_r = cos, sin
+            if reverse:
+                # Tokens are still in the original layout here (the composed
+                # permutation runs below); reference rope angles are by slot
+                # in the reversed layout, so token p needs angle L_vid-1-p.
+                Lv = L - stl
+                cos_r, sin_r = jnp.flip(cos[:Lv], axis=0), jnp.flip(sin[:Lv], axis=0)
+            rope = lambda x: apply_rope_prefixed(x, cos_r, sin_r, stl, seq_axis=1)
             XQ, XK = rope(XQ), rope(XK)
             XV = self._ln_reconstruction_target(XV, XK)
 
@@ -145,18 +161,23 @@ class TTTLayer(nn.Module):
         XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
         eta = self._token_eta(hidden_states)
 
-        if meta.is_multiscene:
-            il = lambda x: interleave(x.reshape(B, H, L, F), meta).reshape(B, H, NC, CS, F)
+        if meta.is_multiscene or reverse:
+            il = lambda x: interleave(x.reshape(B, H, L, F), meta, reverse).reshape(B, H, NC, CS, F)
             XQ, XK, XV = il(XQ), il(XK), il(XV)
-            eta = interleave(eta.reshape(B, H, L, 1), meta).reshape(B, H, NC, CS)
+            eta = interleave(eta.reshape(B, H, L, 1), meta, reverse).reshape(B, H, NC, CS)
 
         rope_cos = rope_sin = None
         if fuse_pre:
             cos_il, sin_il = interleaved_tables_prefixed(cos, sin, stl, L)
             tabs = (jnp.asarray(cos_il), jnp.asarray(sin_il))
             if meta.is_multiscene:
-                # Tokens were interleaved pre-kernel; permute the tables the
-                # same way so in-kernel rope sees each token's own angles.
+                # Rope angles are per SLOT of the pre-interleave layout
+                # (identity rows for text, video position j -> angle j), so
+                # the tables take the plain forward interleave for BOTH
+                # directions — flipping tokens moves tokens between slots but
+                # never moves the slots' angles (reference applies rope by
+                # position on the already-reversed sequence,
+                # ttt/models/ssm/ttt_layer.py:271-276).
                 tabs = tuple(interleave(t, meta) for t in tabs)
             rope_cos = tabs[0].reshape(NC, CS, F)
             rope_sin = tabs[1].reshape(NC, CS, F)
@@ -184,8 +205,8 @@ class TTTLayer(nn.Module):
 
         out = self.wo(self.post_norm(out))
 
-        if meta.is_multiscene:
-            out = undo_interleave(out, meta)
+        if meta.is_multiscene or reverse:
+            out = undo_interleave(out, meta, reverse)
         return out
 
     def _ttt_linear(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None):

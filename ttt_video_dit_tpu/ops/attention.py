@@ -138,20 +138,39 @@ def _eff_bwd_block(batch: int, S: int, conservative: bool) -> int:
     return min(b, 1024) if conservative else b
 
 
-def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int) -> bool:
+# v5e usable HBM (15.75 GB after system reserve, from compiler OOM reports).
+_HBM_BYTES = int(15.75 * 1024**3)
+
+
+def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
+                  param_count: int = 0) -> bool:
     """The fused splash backward materializes per-kv-block dQ partials
-    [batch, S/block_kv_dkv, H, S, F]; cap that stack at ~2 GB (at 21 x 63 s
-    windows it reaches multiple GB and OOMs v5e). ``bwd_block`` must be the
-    block size the kernel will actually run (_eff_bwd_block) — the
-    conservative profile halves it, doubling the partials stack. The
-    separate-dq backward is ~25-34 % slower on the attention bwd
-    (scripts/tune_splash_bwd.py) but O(batch * S * F) in memory."""
-    partials = batch * (S // bwd_block) * H * S * F * 2  # bf16
-    # 4 GB was tried at the 63 s remat=none geometry (partials 3.57 GB at
-    # 1024 blocks): the fused bwd then OOMs HBM next to the un-rematted
-    # activations, while remat=full + fused (2.51 s) still loses to
-    # remat=none + separate-dq (1.58 s). 2 GB keeps the fast config viable.
-    return partials <= 2 * 1024**3
+    [batch, S/block_kv_dkv, H, S, F]; decide whether that stack fits next to
+    the training state. ``bwd_block`` must be the block size the kernel will
+    actually run (_eff_bwd_block) — the conservative profile halves it,
+    doubling the partials stack. The separate-dq backward is ~25-34 % slower
+    on the attention bwd (scripts/tune_splash_bwd.py) but O(batch * S * F)
+    in memory.
+
+    Sizing is in PADDED bytes: the lane dim pads to 128, so head_dim-64
+    partials occupy 2x their logical size (seen as "2.0x expansion" in
+    compiler OOM dumps — an unpadded 1.9 GB stack at d3072 x 4L scan-layers
+    was really 3.8 GB and OOMed).
+
+    The budget subtracts the training state (~12 B/param: fp32 params + Adam
+    m/v) from HBM with a 5 GB margin for non-partials HLO temps (the d3072 x
+    4L scan-layers OOM dump shows ~6.3 GB of temps besides the partials;
+    unrolled remat=block fit with ~5 GB), clamped to [2.25 GB, 4 GB]. The
+    floor keeps the tuned fused path at flagship width where remat frees
+    activation headroom (d3072 x 4L remat=block measured fitting with a
+    2.03 GB padded stack); the ceiling reflects the largest measured-fitting
+    stack (63 s d256, 3.56 GB padded, 1.30x step-time win over
+    separate-dq)."""
+    F_padded = -(-F // 128) * 128
+    partials = batch * (S // bwd_block) * H * S * F_padded * 2  # bf16, padded
+    free = _HBM_BYTES - 12 * param_count - 5 * 1024**3
+    budget = min(4 * 1024**3, max(free, int(2.25 * 1024**3)))
+    return partials <= budget
 
 
 # Tests monkeypatch this to True to run the splash kernels on CPU in pallas
@@ -174,7 +193,7 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, 
 _SPLASH_BLOCK = 2048
 
 
-def _splash(q, k, v, conservative: bool = False, windows: int = 1):
+def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0):
     """Pallas splash (flash) attention: q/k/v [B*windows, S, H, F] (bf16), S
     already a multiple of the tuned block sizes (callers pad via
     _splash_padded).
@@ -197,7 +216,7 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1):
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean))
+    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean), param_count)
     kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
@@ -207,7 +226,8 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1):
     return jnp.transpose(out.reshape(BC, H, S, F), (0, 2, 1, 3))
 
 
-def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int = 1):
+def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int = 1,
+                   param_count: int = 0):
     """Splash attention at an arbitrary S: pad the sequence up to a multiple
     of ``block`` and mask the padded KV columns (exact — real rows never see
     pad tokens). Larger blocks amortize per-block softmax bookkeeping, which
@@ -215,13 +235,13 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     BC, S, H, F = q.shape
     Sp = -(-S // block) * block
     if Sp == S:
-        return _splash(q, k, v, conservative, windows)
+        return _splash(q, k, v, conservative, windows, param_count)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean))
+    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean), param_count)
     kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)
@@ -229,7 +249,7 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     return jnp.transpose(out.reshape(BC, H, Sp, F), (0, 2, 1, 3))[:, :S]
 
 
-def attention(q, k, v, conservative: bool = False, windows: int = 1):
+def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0):
     """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F].
 
     Long windows on TPU take the splash (flash) kernel, padded up to a
@@ -240,10 +260,13 @@ def attention(q, k, v, conservative: bool = False, windows: int = 1):
     ``windows`` marks a leading batch-of-windows factor (batch = B*windows):
     on the splash path the windows fold into the kernel's head grid (one
     call, tuned blocks) instead of a vmap; the non-splash paths batch over
-    them natively."""
+    them natively. ``param_count`` (model total, see
+    ModelConfig.approx_param_count) sizes the fused-backward scratch budget
+    against the HBM the training state occupies."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
     if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
-        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative, windows=windows)
+        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative,
+                              windows=windows, param_count=param_count)
     return _chunked(q, k, v)

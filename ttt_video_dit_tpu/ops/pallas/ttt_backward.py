@@ -160,6 +160,14 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
     # Ragged NC: the last group (processed first, n == 0) has fewer than K
     # valid mini-batches; its trailing block rows are Pallas edge padding
     # (garbage reads, masked writes) and the loops below never touch them.
+    # The data-dependent bound makes every grid step's fori_loops
+    # while-lowered (no unrolling) even though only n == 0 is ragged;
+    # splitting the grid so the other groups get a static-K bound was
+    # considered and rejected — it doubles the kernel instantiations per
+    # call for a loop whose large body already amortizes the trip-count
+    # check (the flagship bench runs this exact ragged path, NC=282 K=16,
+    # at 40.77 % MFU). Compiled-mode ragged behavior is exercised on
+    # hardware by scripts/tpu_smoke.py.
     last_valid = NC - (NG - 1) * K
     valid = K if last_valid == K else jnp.where(n == 0, last_valid, K)
 
