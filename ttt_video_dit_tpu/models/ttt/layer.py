@@ -22,7 +22,7 @@ from ttt_video_dit_tpu.models.sequence import SequenceMetadata
 from ttt_video_dit_tpu.models.ttt.interleave import interleave, undo_interleave
 from ttt_video_dit_tpu.ops import ttt_scan
 from ttt_video_dit_tpu.ops.rope import (
-    apply_rope_prefixed,
+    apply_rope,
     interleaved_tables_prefixed,
     precompute_rope_3d,
 )
@@ -109,17 +109,30 @@ class TTTLayer(nn.Module):
         directly from the ORIGINAL sequence layout: the reverse prep (text
         scenes reversed, video flipped — reference:
         ttt/models/cogvideo/dit.py:230-242) is composed into the interleave
-        permutation (one gather pass instead of flip+concat+interleave), and
-        the output is un-composed back to the original layout. Rope stays
-        position-based in the reversed pre-interleave layout exactly as the
-        reference applies it (ttt/models/ssm/ttt_layer.py:271-276): video
-        slot j gets angle j, i.e. token p gets angle L_vid-1-p."""
+        permutation, and the output is un-composed back to the original
+        layout.
+
+        The permutation is applied ONCE to ``hidden_states`` at layer entry
+        (projections, eta, and the per-slot rope/LN preprocessing are all
+        per-token, so they commute with any token permutation): one [B, L, D]
+        gather pass per direction instead of permuting XQ/XK/XV separately
+        (3x the traffic) or the old flip+concat+interleave chain. Rope is
+        applied by SLOT of the pre-interleave layout exactly as the reference
+        does on its already-reversed sequence
+        (ttt/models/ssm/ttt_layer.py:271-276): the slot tables (identity rows
+        for text, video slot j -> angle j, forward-interleaved when
+        multiscene) are the same for both directions — flipping tokens moves
+        tokens between slots, never the slots' angles."""
         cfg = self.config
         B, L, D = hidden_states.shape
         H, F, CS = cfg.num_heads, cfg.head_dim, cfg.mini_batch_size
         assert L % CS == 0, "Sequence len must be multiple of mini batch size."
         NC = L // CS
         stl = meta.seq_text_length
+
+        permuted = meta.is_multiscene or reverse
+        if permuted:
+            hidden_states = interleave(hidden_states, meta, reverse)
 
         XQ = self.wq(hidden_states).reshape(B, L, H, F)
         XK = self.wk(hidden_states).reshape(B, L, H, F)
@@ -141,18 +154,16 @@ class TTTLayer(nn.Module):
         if not fuse_pre:
             # L2-normalize queries/keys over the head dim (torch F.normalize
             # parity: x / max(||x||_2, 1e-12), reference:
-            # ttt/models/ssm/ttt_layer.py:265-266); 3D rope on video tokens
-            # only (global positions over the full video).
+            # ttt/models/ssm/ttt_layer.py:265-266); rope by slot (identity
+            # rows on text slots, see docstring).
             norm = lambda x: (x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)).astype(x.dtype)
             XQ, XK = norm(XQ), norm(XK)
-            cos_r, sin_r = cos, sin
-            if reverse:
-                # Tokens are still in the original layout here (the composed
-                # permutation runs below); reference rope angles are by slot
-                # in the reversed layout, so token p needs angle L_vid-1-p.
-                Lv = L - stl
-                cos_r, sin_r = jnp.flip(cos[:Lv], axis=0), jnp.flip(sin[:Lv], axis=0)
-            rope = lambda x: apply_rope_prefixed(x, cos_r, sin_r, stl, seq_axis=1)
+            Dh = F // 2
+            cos_s = jnp.concatenate([jnp.ones((stl, Dh), jnp.float32), jnp.asarray(cos[: L - stl], jnp.float32)], axis=0)
+            sin_s = jnp.concatenate([jnp.zeros((stl, Dh), jnp.float32), jnp.asarray(sin[: L - stl], jnp.float32)], axis=0)
+            if meta.is_multiscene:
+                cos_s, sin_s = interleave(cos_s, meta), interleave(sin_s, meta)
+            rope = lambda x: apply_rope(x, cos_s, sin_s, seq_axis=1)
             XQ, XK = rope(XQ), rope(XK)
             XV = self._ln_reconstruction_target(XV, XK)
 
@@ -161,23 +172,11 @@ class TTTLayer(nn.Module):
         XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
         eta = self._token_eta(hidden_states)
 
-        if meta.is_multiscene or reverse:
-            il = lambda x: interleave(x.reshape(B, H, L, F), meta, reverse).reshape(B, H, NC, CS, F)
-            XQ, XK, XV = il(XQ), il(XK), il(XV)
-            eta = interleave(eta.reshape(B, H, L, 1), meta, reverse).reshape(B, H, NC, CS)
-
         rope_cos = rope_sin = None
         if fuse_pre:
             cos_il, sin_il = interleaved_tables_prefixed(cos, sin, stl, L)
             tabs = (jnp.asarray(cos_il), jnp.asarray(sin_il))
             if meta.is_multiscene:
-                # Rope angles are per SLOT of the pre-interleave layout
-                # (identity rows for text, video position j -> angle j), so
-                # the tables take the plain forward interleave for BOTH
-                # directions — flipping tokens moves tokens between slots but
-                # never moves the slots' angles (reference applies rope by
-                # position on the already-reversed sequence,
-                # ttt/models/ssm/ttt_layer.py:271-276).
                 tabs = tuple(interleave(t, meta) for t in tabs)
             rope_cos = tabs[0].reshape(NC, CS, F)
             rope_sin = tabs[1].reshape(NC, CS, F)
@@ -205,7 +204,7 @@ class TTTLayer(nn.Module):
 
         out = self.wo(self.post_norm(out))
 
-        if meta.is_multiscene or reverse:
+        if permuted:
             out = undo_interleave(out, meta, reverse)
         return out
 
