@@ -34,10 +34,18 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--use-kernel", action="store_true", default=True)
     parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
-    parser.add_argument("--remat", default="none", choices=["block", "none", "full"],
+    parser.add_argument("--remat", default="none", choices=["block", "none", "full", "layer"],
                         help="activation-checkpointing preset for the bench model; 'none' "
                         "is fastest and fits HBM at the default geometry (remat trades "
-                        "recompute for memory and is for flagship-width runs)")
+                        "recompute for memory and is for flagship-width runs). 'layer' "
+                        "remats ONLY at layer granularity (no nested seq-block/MLP remat "
+                        "— 'block' triple-computes those interiors); combine with "
+                        "--remat-policy save_seq to skip recomputing the splash/TTT "
+                        "sequential kernels entirely")
+    parser.add_argument("--remat-policy", default="none", choices=["none", "save_seq"],
+                        help="checkpoint policy inside remat regions: save_seq keeps the "
+                        "splash out+logsumexp and TTT output+state checkpoints across the "
+                        "remat boundary (recompute covers only dense/elementwise work)")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the timed steps into this dir")
@@ -91,6 +99,7 @@ def main():
         remat_attention=args.remat == "full",
         remat_forward_ssm=args.remat == "full",
         remat_reverse_ssm=args.remat == "full",
+        remat_policy=args.remat_policy,
         scan_layers=args.scan_layers,
         dtype="bfloat16",
         **VIDEO_DURATION_CONFIGS[args.video_length],

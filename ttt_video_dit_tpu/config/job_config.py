@@ -204,6 +204,15 @@ class RematSection:
         default=False,
         metadata={"help": "Shard inter-layer-group activations over the tensor axis", "action": "store_true"},
     )
+    policy: str = field(
+        default="none",
+        metadata={
+            "help": "Remat checkpoint policy: 'none' recomputes everything inside "
+            "a rematted region; 'save_seq' saves the sequential-kernel residuals "
+            "(splash attention out+logsumexp, TTT scan output + state checkpoints) "
+            "so only the cheap dense/elementwise work is recomputed"
+        },
+    )
 
 
 @dataclass

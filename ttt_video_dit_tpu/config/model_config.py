@@ -99,6 +99,11 @@ class ModelConfig:
     remat_mlp: bool = False
     remat_seq_modeling_block: bool = False
     shard_transformer_inputs: bool = False
+    # Checkpoint policy applied to every remat region: "none" | "save_seq"
+    # (save the splash/TTT sequential-kernel residuals so remat recompute
+    # covers only dense matmuls + elementwise — the sequential scans never
+    # run twice; see models/dit/dit.py:_ckpt_policy).
+    remat_policy: str = "none"
 
     # Computation dtype ("bfloat16" | "float32"); params are always float32.
     dtype: str = "bfloat16"
@@ -155,6 +160,7 @@ class ModelConfig:
         self.remat_mlp = job_config.remat.mlp
         self.remat_seq_modeling_block = job_config.remat.seq_modeling_block
         self.shard_transformer_inputs = job_config.remat.shard_transformer_inputs
+        self.remat_policy = job_config.remat.policy
 
         self.ssm_layer = job_config.model.ssm_layer
         self.mini_batch_size = job_config.model.mini_batch_size

@@ -42,6 +42,54 @@ def modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _ckpt_policy(cfg: ModelConfig):
+    """Checkpoint policy for every remat region (config: remat.policy).
+
+    "save_seq" keeps the sequential kernels' residuals across the remat
+    boundary — splash attention's out+logsumexp (tagged by the library via
+    residual_checkpoint_name, ops/attention.py) and the TTT scan output +
+    fast-weight state checkpoints (models/ttt/layer.py, ops/pallas/ttt_vjp.py)
+    — so a rematted layer's backward recomputes only dense matmuls and
+    elementwise ops; the splash/TTT forwards are DCE'd from the recompute.
+    Cost: ~0.5 GB/layer saved residuals at the 3 s d3072 geometry vs ~36 %
+    step-time remat tax without it (docs/performance.md depth rows)."""
+    if cfg.remat_policy == "save_seq":
+        return jax.checkpoint_policies.save_only_these_names(
+            "splash_residuals", "ttt_residuals", "ttt_out"
+        )
+    if cfg.remat_policy not in ("none", ""):
+        raise ValueError(f"Unknown remat policy: {cfg.remat_policy!r}")
+    return None
+
+
+def _remat(target, cfg: ModelConfig, **kw):
+    return nn.remat(target, policy=_ckpt_policy(cfg), **kw)
+
+
+def _policy_reserved_bytes(cfg: ModelConfig, meta: SequenceMetadata, B: int,
+                           S_win: int, C: int) -> int:
+    """HBM the save_seq policy keeps live across ALL rematted layers: splash
+    out (bf16) + logsumexp (f32) per window, plus per TTT direction the scan
+    output (bf16) and the fp32 fast-weight state checkpoints (b-checkpoints
+    ride 8-row-compressed). Feeds the splash fused-backward budget
+    (ops/attention.py:_fused_bwd_ok) so the backward degrades to the
+    separate-dq path instead of OOMing when the saved residuals spend the
+    headroom remat used to free (d3072 x 4L + save_seq measured ~130-160 MB
+    over HBM with the fused dQ-partials stack)."""
+    if cfg.remat_policy != "save_seq":
+        return 0
+    H, F = cfg.num_heads, cfg.head_dim
+    splash = B * C * S_win * H * (F * 2 + 4)
+    L = meta.seq_text_length + meta.num_video_tokens
+    NG = -(-(L // cfg.mini_batch_size) // max(cfg.scan_checkpoint_group_size, 1))
+    if cfg.ssm_layer == "ttt_mlp":
+        state = H * (8 * F * F + 40 * F) * 4  # W1+W2 + 8-row b1+b2
+    else:
+        state = H * (F * F + 8 * F) * 4
+    ttt = 2 * (B * L * H * F * 2 + B * NG * state)
+    return cfg.num_layers * (splash + ttt)
+
+
 class PatchEmbedding(nn.Module):
     """2x2 conv patchify of video latents + linear text projection
     (reference: dit.py:17-40)."""
@@ -164,7 +212,8 @@ class SegmentLocalAttention(nn.Module):
         # scoped vmem with the loop's remat fusions; use the vmem-lean block
         # profile there.
         attn = attention(q, k, v, conservative=cfg.scan_layers, windows=C,
-                         param_count=cfg.approx_param_count())  # [B*C, S, H, F]
+                         param_count=cfg.approx_param_count(),
+                         reserved_bytes=_policy_reserved_bytes(cfg, meta, B, S, C))  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)
         out = dense("o")(attn).reshape(B, C, S, D)
 
@@ -228,8 +277,8 @@ class SeqModelingBlock(nn.Module):
             # layer returns the original layout.
             return mdl.ssm(x, meta, reverse=True)
 
-        fwd = nn.remat(run_ssm_fwd) if cfg.remat_forward_ssm else run_ssm_fwd
-        rev = nn.remat(run_ssm_rev) if cfg.remat_reverse_ssm else run_ssm_rev
+        fwd = _remat(run_ssm_fwd, cfg) if cfg.remat_forward_ssm else run_ssm_fwd
+        rev = _remat(run_ssm_rev, cfg) if cfg.remat_reverse_ssm else run_ssm_rev
 
         residual = emb
         out = fwd(self, emb)
@@ -245,7 +294,7 @@ class SeqModelingBlock(nn.Module):
         def run_attn(mdl, v, t):
             return mdl.attention(v, t, meta)
 
-        attn = nn.remat(run_attn) if cfg.remat_attention else run_attn
+        attn = _remat(run_attn, cfg) if cfg.remat_attention else run_attn
         out = attn(self, vid_emb, text_emb)
         out = self._ssm_forward(out, meta)
 
@@ -285,7 +334,7 @@ class TransformerLayer(nn.Module):
         def run_block(mdl, v, t):
             return mdl.seq_modeling_block(v, t, meta)
 
-        block_fn = nn.remat(run_block) if cfg.remat_seq_modeling_block else run_block
+        block_fn = _remat(run_block, cfg) if cfg.remat_seq_modeling_block else run_block
         vid_out, text_out = block_fn(self, vid_in, text_in)
 
         vid_emb = vid_emb + gate[:, None, :] * vid_out
@@ -305,7 +354,7 @@ class TransformerLayer(nn.Module):
         def run_mlp(mdl, x):
             return mdl.mlp(x)
 
-        mlp_fn = nn.remat(run_mlp) if cfg.remat_mlp else run_mlp
+        mlp_fn = _remat(run_mlp, cfg) if cfg.remat_mlp else run_mlp
         mlp_output = mlp_fn(self, mlp_input)
 
         vid_emb = vid_emb + gate[:, None, :] * mlp_output[:, stl:]
@@ -339,7 +388,11 @@ class LayerStack(nn.Module):
     @nn.compact
     def __call__(self, vid_emb, text_emb, t_emb, meta: SequenceMetadata):
         cfg = self.config
-        body = nn.remat(_ScanLayerBody, prevent_cse=False) if cfg.remat_transformer_layers else _ScanLayerBody
+        body = (
+            _remat(_ScanLayerBody, cfg, prevent_cse=False)
+            if cfg.remat_transformer_layers
+            else _ScanLayerBody
+        )
         stack = nn.scan(
             body,
             variable_axes={"params": 0},
@@ -455,7 +508,7 @@ class DiffusionTransformer(nn.Module):
                     vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
                     text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
                 group_fn = (
-                    nn.remat(group_forward) if cfg.remat_transformer_layers else group_forward
+                    _remat(group_forward, cfg) if cfg.remat_transformer_layers else group_forward
                 )
                 vid_emb, text_emb = group_fn(self, vid_emb, text_emb, t_emb)
 

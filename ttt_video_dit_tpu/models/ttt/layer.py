@@ -193,6 +193,12 @@ class TTTLayer(nn.Module):
         else:
             XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin)
 
+        # Saveable under the save_seq remat policy: with the scan output AND
+        # the state checkpoints ("ttt_residuals", ops/pallas/ttt_vjp.py) kept,
+        # the sequential forward scan is DCE'd from a rematted layer's
+        # recompute pass entirely. Inert without a policy naming it.
+        XQW = jax.ad_checkpoint.checkpoint_name(XQW, "ttt_out")
+
         # [B, H, NC, CS, F] -> [B, L, H*F]
         out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
 

@@ -143,7 +143,7 @@ _HBM_BYTES = int(15.75 * 1024**3)
 
 
 def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
-                  param_count: int = 0) -> bool:
+                  param_count: int = 0, reserved_bytes: int = 0) -> bool:
     """The fused splash backward materializes per-kv-block dQ partials
     [batch, S/block_kv_dkv, H, S, F]; decide whether that stack fits next to
     the training state. ``bwd_block`` must be the block size the kernel will
@@ -165,11 +165,20 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
     activation headroom (d3072 x 4L remat=block measured fitting with a
     2.03 GB padded stack); the ceiling reflects the largest measured-fitting
     stack (63 s d256, 3.56 GB padded, 1.30x step-time win over
-    separate-dq)."""
+    separate-dq).
+
+    ``reserved_bytes`` is HBM the save_seq remat policy keeps live across all
+    rematted layers (splash out+lse, TTT outputs + state checkpoints —
+    models/dit/dit.py:_policy_reserved_bytes). The 2.25 GB floor does not
+    apply then: the floor models remat-freed activation headroom, which the
+    policy spends on the saved residuals instead (d3072 x 4L with save_seq
+    measured OOM by only ~130-160 MB with the fused stack — separate-dq
+    fits)."""
     F_padded = -(-F // 128) * 128
     partials = batch * (S // bwd_block) * H * S * F_padded * 2  # bf16, padded
-    free = _HBM_BYTES - 12 * param_count - 5 * 1024**3
-    budget = min(4 * 1024**3, max(free, int(2.25 * 1024**3)))
+    free = _HBM_BYTES - 12 * param_count - 5 * 1024**3 - reserved_bytes
+    floor = int(2.25 * 1024**3) if reserved_bytes == 0 else 0
+    budget = min(4 * 1024**3, max(free, floor))
     return partials <= budget
 
 
@@ -182,8 +191,14 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, 
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
     mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, conservative)
+    # residual_checkpoint_name tags the kernel's residuals (out + logsumexp)
+    # so the save_seq remat policy (models/dit/dit.py:_ckpt_policy) can keep
+    # them: the splash forward is then never recomputed in the backward pass
+    # of a rematted layer (q/k/v residuals are rebuilt from the cheap dense
+    # projections instead). Inert without a policy naming it.
     return splash.make_splash_mha(
-        mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs, interpret=_INTERPRET
+        mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs, interpret=_INTERPRET,
+        residual_checkpoint_name="splash_residuals",
     )
 
 
@@ -193,7 +208,8 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, 
 _SPLASH_BLOCK = 2048
 
 
-def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0):
+def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0,
+            reserved_bytes: int = 0):
     """Pallas splash (flash) attention: q/k/v [B*windows, S, H, F] (bf16), S
     already a multiple of the tuned block sizes (callers pad via
     _splash_padded).
@@ -216,7 +232,7 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: 
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean), param_count)
+    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean), param_count, reserved_bytes)
     kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
@@ -227,7 +243,7 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: 
 
 
 def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int = 1,
-                   param_count: int = 0):
+                   param_count: int = 0, reserved_bytes: int = 0):
     """Splash attention at an arbitrary S: pad the sequence up to a multiple
     of ``block`` and mask the padded KV columns (exact — real rows never see
     pad tokens). Larger blocks amortize per-block softmax bookkeeping, which
@@ -235,13 +251,13 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     BC, S, H, F = q.shape
     Sp = -(-S // block) * block
     if Sp == S:
-        return _splash(q, k, v, conservative, windows, param_count)
+        return _splash(q, k, v, conservative, windows, param_count, reserved_bytes)
     pad = ((0, 0), (0, Sp - S), (0, 0), (0, 0))
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean), param_count)
+    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean), param_count, reserved_bytes)
     kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)
@@ -249,7 +265,8 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     return jnp.transpose(out.reshape(BC, H, Sp, F), (0, 2, 1, 3))[:, :S]
 
 
-def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0):
+def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0,
+              reserved_bytes: int = 0):
     """Dispatching attention: q/k/v [B, S, H, F] -> [B, S, H, F].
 
     Long windows on TPU take the splash (flash) kernel, padded up to a
@@ -262,11 +279,13 @@ def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count
     call, tuned blocks) instead of a vmap; the non-splash paths batch over
     them natively. ``param_count`` (model total, see
     ModelConfig.approx_param_count) sizes the fused-backward scratch budget
-    against the HBM the training state occupies."""
+    against the HBM the training state occupies; ``reserved_bytes`` further
+    reserves HBM the save_seq remat policy keeps live (_fused_bwd_ok)."""
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
     if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
         return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative,
-                              windows=windows, param_count=param_count)
+                              windows=windows, param_count=param_count,
+                              reserved_bytes=reserved_bytes)
     return _chunked(q, k, v)

@@ -24,8 +24,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+
 from ttt_video_dit_tpu.ops import ttt_scan
 from ttt_video_dit_tpu.ops.pallas import ttt_forward
+
+
+def _name_res(*cks):
+    """Tag the fast-weight state checkpoints as saveable residuals: with the
+    save_seq remat policy (models/dit/dit.py:_ckpt_policy) they survive the
+    remat boundary, so the backward consumes the ORIGINAL forward's
+    checkpoints and the sequential forward scan is DCE'd from the recompute
+    (only the cheap projections are re-run). Inert without a policy."""
+    return tuple(_ckpt_name(c, "ttt_residuals") for c in cks)
 
 # Default for the fully-fused Pallas backward kernels (ttt_backward.py); the
 # per-call ``fused`` argument (config: model.use_fused_backward) selects the
@@ -97,6 +108,7 @@ def _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
 
 def _linear_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1):
     out, w_ck, b_ck = _linear_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1)
+    w_ck, b_ck = _name_res(w_ck, b_ck)
     return out, (XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck)
 
 
@@ -160,6 +172,7 @@ def _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
 
 def _mlp_fwd(K, interpret, fused, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2):
     out, w1_ck, b1_ck, w2_ck, b2_ck = _mlp_fwd_padded(K, interpret, XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2)
+    w1_ck, b1_ck, w2_ck, b2_ck = _name_res(w1_ck, b1_ck, w2_ck, b2_ck)
     return out, (XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck)
 
 
@@ -232,6 +245,7 @@ def _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, 
 
 def _linear_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
     out, w_ck, b_ck = _linear_fwd_padded_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1)
+    w_ck, b_ck = _name_res(w_ck, b_ck)
     return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck)
 
 
@@ -274,6 +288,7 @@ def _mlp_fwd_pre(K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2
     out, w1_ck, b1_ck, w2_ck, b2_ck = _mlp_fwd_padded_pre(
         K, interpret, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2
     )
+    w1_ck, b1_ck, w2_ck, b2_ck = _name_res(w1_ck, b1_ck, w2_ck, b2_ck)
     return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck)
 
 
