@@ -54,3 +54,25 @@ def test_scan_layers_matches_unrolled(rng, remat):
     # scan init produces the same (stacked) tree structure.
     scan_init = scan_model.init(jax.random.PRNGKey(0), vid, text, ts)
     assert jax.tree_util.tree_structure(scan_init) == jax.tree_util.tree_structure(stacked)
+
+    # The scan body pre-converts its 2-D Dense kernels through the opaque
+    # Pallas convert (dit.py:_make_scan_param_pin) so XLA cannot hoist a
+    # whole-stack bf16 convert out of the while loop (921 MB over HBM at
+    # d3072x4L on v5e). With a bf16 config the pin routes kernels through
+    # ops/pallas/convert.py (interpret mode here, forced eligible on CPU);
+    # outputs must match the plain-astype model bit-for-bit.
+    import ttt_video_dit_tpu.ops.pallas.convert as conv_mod
+
+    cfg_bf16 = ModelConfig(scan_layers=True, **{**kw, "dtype": "bfloat16"})
+    model_bf16 = DiffusionTransformer(cfg_bf16)
+    out_plain = model_bf16.apply(stacked, vid, text, ts)
+    old = conv_mod._INTERPRET
+    conv_mod._INTERPRET = True
+    try:
+        jaxpr = str(jax.make_jaxpr(lambda p: model_bf16.apply(p, vid, text, ts).sum())(stacked))
+        assert "convert_kernel" in jaxpr or "pallas_call" in jaxpr
+        out_pin = model_bf16.apply(stacked, vid, text, ts)
+    finally:
+        conv_mod._INTERPRET = old
+        conv_mod._pallas_convert.cache_clear()
+    np.testing.assert_array_equal(np.asarray(out_pin), np.asarray(out_plain))

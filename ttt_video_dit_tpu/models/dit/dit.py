@@ -376,6 +376,34 @@ class _ScanLayerBody(nn.Module):
         return (vid, text, t_emb), None
 
 
+def _make_scan_param_pin(cfg: ModelConfig):
+    """trans_in_fn for the scanned layer body's params: pre-convert the 2-D
+    Dense kernels to the compute dtype through a Pallas kernel
+    (ops/pallas/convert.py) so XLA cannot rewrite the per-iteration
+    ``convert(dynamic-slice(stacked_param))`` into a hoisted whole-stack
+    convert — which materialized a full bf16 copy of every stacked fp32
+    param as an HLO temp (measured on v5e at d3072×4L: a dozen 72 MB
+    ``bf16[4,3072,3072]`` convert/copy temps, 921 MB over HBM; a plain
+    ``lax.optimization_barrier`` does NOT stop the rewrite — measured). The
+    flax modules then see an already-bf16 kernel and their own promote_dtype
+    is a no-op; numerics are bit-identical (same single fp32→bf16 rounding).
+    Non-kernel leaves (LayerNorm affines, TTT fast-weight inits, biases) pass
+    through untouched — they are used in fp32 or are too small to matter."""
+    from ttt_video_dit_tpu.ops.pallas.convert import opaque_convert
+
+    dtype = jnp.dtype(cfg.dtype)
+
+    def pin(col):
+        def leaf(path, x):
+            if path and getattr(path[-1], "key", None) == "kernel" and x.ndim == 2:
+                return opaque_convert(x, dtype)
+            return x
+
+        return jax.tree_util.tree_map_with_path(leaf, col)
+
+    return pin
+
+
 class LayerStack(nn.Module):
     """scan-over-layers: one ``lax.scan`` over stacked per-layer params, so
     HLO size and compile time stop scaling with depth (an unrolled 42-layer
@@ -388,11 +416,10 @@ class LayerStack(nn.Module):
     @nn.compact
     def __call__(self, vid_emb, text_emb, t_emb, meta: SequenceMetadata):
         cfg = self.config
-        body = (
-            _remat(_ScanLayerBody, cfg, prevent_cse=False)
-            if cfg.remat_transformer_layers
-            else _ScanLayerBody
+        body = nn.map_variables(
+            _ScanLayerBody, "params", trans_in_fn=_make_scan_param_pin(cfg), init=True
         )
+        body = _remat(body, cfg, prevent_cse=False) if cfg.remat_transformer_layers else body
         stack = nn.scan(
             body,
             variable_axes={"params": 0},
