@@ -80,3 +80,93 @@ def test_load_tensor_uses_native_path(tmp_path):
     p = str(tmp_path / "t.npy")
     np.save(p, arr)
     np.testing.assert_array_equal(load_tensor(p), arr)
+
+
+def _make_dataset(tmp_path, n=6, scenes=2, broken=()):
+    """Tiny on-disk preembedding dataset; indices in ``broken`` get a
+    corrupt vid file so the per-sample retry fallback is exercised."""
+    import json
+
+    from ttt_video_dit_tpu.data.dataset import PreembeddingDataset
+
+    rng = np.random.default_rng(3)
+    jsonl = tmp_path / "meta.jsonl"
+    with open(jsonl, "w") as f:
+        for i in range(n):
+            vid_p = tmp_path / f"vid{i}.npy"
+            if i in broken:
+                vid_p.write_bytes(b"not an npy file")
+            else:
+                np.save(vid_p, rng.standard_normal((3, 4, 2, 2)).astype(np.float32))
+            txt_ps = []
+            for s in range(scenes):
+                tp = tmp_path / f"txt{i}_{s}.npy"
+                np.save(tp, rng.standard_normal((5, 8)).astype(np.float32))
+                txt_ps.append(str(tp))
+            f.write(json.dumps({"vid_emb": str(vid_p), "text_chunk_emb": txt_ps}) + "\n")
+    return lambda: PreembeddingDataset(None, 0.7, str(jsonl), seed=11)
+
+
+def test_load_batch_pool_matches_sequential(tmp_path):
+    """Pooled batch loading is bit-identical to sequential __getitem__,
+    including the posterior-sampling RNG stream."""
+    make = _make_dataset(tmp_path)
+    seq = make().load_batch([4, 0, 2, 5])
+    pool = native.PrefetchPool(num_threads=3)
+    try:
+        par = make().load_batch([4, 0, 2, 5], pool)
+    finally:
+        pool.close()
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["vid"], b["vid"])
+        np.testing.assert_array_equal(a["text"], b["text"])
+
+
+def test_load_batch_falls_back_per_sample(tmp_path):
+    """A corrupt file inside a pooled batch raises the same 10-retry error
+    as the sequential path, after the preceding samples loaded fine; a batch
+    avoiding the corrupt index is unaffected."""
+    import pytest as _pytest
+
+    make = _make_dataset(tmp_path, broken={1})
+    pool = native.PrefetchPool(num_threads=2)
+    try:
+        ok = make().load_batch([0, 2, 3], pool)
+        assert len(ok) == 3
+        with _pytest.raises(RuntimeError, match="after 10 retries"):
+            make().load_batch([0, 1, 2], pool)
+    finally:
+        pool.close()
+
+
+def test_datamodule_batches_use_pool(tmp_path):
+    """End-to-end DataModule stream parity: with the native pool active in
+    the worker, batches equal the ones a no-pool module produces."""
+    import json
+
+    from ttt_video_dit_tpu.data.dataset import DataModule
+
+    _make_dataset(tmp_path, n=8)()  # writes the files + jsonl
+    jsonl = str(tmp_path / "meta.jsonl")
+
+    def take(n, monkey_off):
+        import ttt_video_dit_tpu.data.native as native_mod
+
+        orig = native_mod.available
+        if monkey_off:
+            native_mod.available = lambda: False
+        try:
+            dm = DataModule(None, 0.7, jsonl, seed=11)
+            it = dm.batches(4, prefetch=1)
+            out = [next(it) for _ in range(n)]
+            it.close()
+            return out
+        finally:
+            native_mod.available = orig
+
+    with_pool = take(3, monkey_off=False)
+    without = take(3, monkey_off=True)
+    for a, b in zip(with_pool, without):
+        np.testing.assert_array_equal(a["vid"], b["vid"])
+        np.testing.assert_array_equal(a["text"], b["text"])

@@ -96,6 +96,45 @@ class PreembeddingDataset:
         txt = np.stack([load_tensor(self.abs_path(p)) for p in metadata["text_chunk_emb"]], axis=0)
         return {"vid": vae_emb, "text": txt.astype(np.float32)}
 
+    def load_batch(self, indices, pool=None) -> List[Dict[str, np.ndarray]]:
+        """Load a list of samples; with a native PrefetchPool every ``.npy``
+        read across the whole batch is submitted to the C++ thread pool up
+        front, so file IO + header parsing for all samples overlap (off the
+        GIL) instead of running one file at a time. Results — including the
+        posterior-sampling RNG stream, which is consumed in sample order
+        *after* a sample's reads complete — are identical to the sequential
+        ``self[i]`` path; any per-sample failure falls back to the 10-retry
+        sequential load (reference: ttt/datasets/preembedding_dataset.py:36-41)."""
+        if pool is None:
+            return [self[i] for i in indices]
+        fetch = lambda p: pool.fetch(p) if p.endswith(".npy") else None
+        plan = []
+        for i in indices:
+            md = self.metadata_list[i]
+            vid_p = self.abs_path(md["vid_emb"])
+            txt_ps = [self.abs_path(p) for p in md["text_chunk_emb"]]
+            plan.append((i, vid_p, fetch(vid_p), txt_ps, [fetch(p) for p in txt_ps]))
+        out = []
+        for i, vid_p, vid_j, txt_ps, txt_js in plan:
+            try:
+                posterior = pool.wait(vid_j) if vid_j is not None else load_tensor(vid_p)
+                texts = [
+                    pool.wait(j) if j is not None else load_tensor(p)
+                    for p, j in zip(txt_ps, txt_js)
+                ]
+            except Exception:
+                # Drain this sample's outstanding payloads, then take the
+                # retrying sequential path. The RNG has not been touched yet,
+                # so the posterior draw happens exactly once either way.
+                for j in [vid_j, *txt_js]:
+                    if j is not None:
+                        pool.discard(j)
+                out.append(self[i])
+                continue
+            vae_emb = self.scale_factor * sample_diagonal_gaussian(posterior, self._rng, channel_axis=1)
+            out.append({"vid": vae_emb, "text": np.stack(texts, axis=0).astype(np.float32)})
+        return out
+
 
 class FaultTolerantSampler:
     """Deterministic shuffled index stream with exact-resume state
@@ -173,29 +212,49 @@ class DataModule:
         stop = threading.Event()
 
         def worker():
+            # Batch-internal IO parallelism: every .npy in a batch is read by
+            # the native C++ pool concurrently (dataset.load_batch). Optional
+            # — without a toolchain the sequential Python path is identical.
+            pool = None
+            try:
+                from ttt_video_dit_tpu.data import native
+
+                if native.available():
+                    pool = native.PrefetchPool(num_threads=4)
+            except Exception:
+                pool = None
             # Worker-local epoch bookkeeping: the shared sampler object is
             # only *read* here (its committed state is written by the
             # consumer), so prefetching never races checkpointed state.
             epoch_seed, counter = self.sampler._epoch_seed, self.sampler.counter
             remaining = FaultTolerantSampler.epoch_permutation(epoch_seed, len(self.dataset))[counter:].tolist()
-            while not stop.is_set():
-                if len(remaining) < global_batch_size:
-                    # Dataloader reset (reference: train.py:28-33): the partial
-                    # tail is dropped and a fresh epoch permutation begins, so
-                    # every batch maps to exactly one (epoch_seed, counter).
-                    epoch_seed += 1
-                    counter = 0
-                    remaining = FaultTolerantSampler.epoch_permutation(epoch_seed, len(self.dataset)).tolist()
-                idxs, remaining = remaining[:global_batch_size], remaining[global_batch_size:]
-                counter += global_batch_size
-                shard = idxs[self.process_index * local : (self.process_index + 1) * local]
-                samples = [self.dataset[i] for i in shard]
-                batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-                # Position is committed by the *consumer* at yield time — if it
-                # advanced at production time, prefetched-but-unconsumed batches
-                # would be skipped after a checkpoint resume (reference commits
-                # per consumed batch, reference: train.py:43).
-                q.put((batch, (epoch_seed, counter)))
+            try:
+                while not stop.is_set():
+                    if len(remaining) < global_batch_size:
+                        # Dataloader reset (reference: train.py:28-33): the partial
+                        # tail is dropped and a fresh epoch permutation begins, so
+                        # every batch maps to exactly one (epoch_seed, counter).
+                        epoch_seed += 1
+                        counter = 0
+                        remaining = FaultTolerantSampler.epoch_permutation(epoch_seed, len(self.dataset)).tolist()
+                    idxs, remaining = remaining[:global_batch_size], remaining[global_batch_size:]
+                    counter += global_batch_size
+                    shard = idxs[self.process_index * local : (self.process_index + 1) * local]
+                    samples = self.dataset.load_batch(shard, pool)
+                    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                    # Position is committed by the *consumer* at yield time — if it
+                    # advanced at production time, prefetched-but-unconsumed batches
+                    # would be skipped after a checkpoint resume (reference commits
+                    # per consumed batch, reference: train.py:43).
+                    while not stop.is_set():
+                        try:
+                            q.put((batch, (epoch_seed, counter)), timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                if pool is not None:
+                    pool.close()
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()

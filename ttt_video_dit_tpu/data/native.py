@@ -131,9 +131,24 @@ class PrefetchPool:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
         self._pool = ctypes.c_void_p(lib.nl_pool_create(num_threads))
+        self._next_id = 0
 
     def submit(self, job_id: int, path: str) -> None:
         self._lib.nl_submit(self._pool, job_id, path.encode())
+
+    def fetch(self, path: str) -> int:
+        """Submit with an auto-assigned job id (returned; pass to wait)."""
+        jid = self._next_id
+        self._next_id += 1
+        self.submit(jid, path)
+        return jid
+
+    def discard(self, job_id: int) -> None:
+        """Wait for and drop a job's payload (error-tolerant cleanup)."""
+        try:
+            self.wait(job_id)
+        except IOError:
+            pass
 
     def wait(self, job_id: int) -> np.ndarray:
         data = ctypes.c_void_p()
