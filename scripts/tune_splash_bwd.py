@@ -36,6 +36,10 @@ def main():
     p.add_argument("--seq", type=int, default=18432)
     args = p.parse_args()
 
+    from ttt_video_dit_tpu.utils.tpu_flags import ensure_tpu_flags
+
+    ensure_tpu_flags()  # 64 MB scoped vmem — same limit the framework runs with
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,29 +58,29 @@ def main():
     flops_bwd = 10 * S * S * H * F
 
     def build(tag, fused, bq, bkv, bkvc, bqd, bkvd, bkvdc, bqdq=None, bkvdq=None):
-        mask = mask_lib.MultiHeadMask([mask_lib.FullMask(_shape=(S, S)) for _ in range(H)])
-        bs = splash.BlockSizes(
-            block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
-            block_q_dkv=bqd, block_kv_dkv=bkvd, block_kv_dkv_compute=bkvdc,
-            block_q_dq=None if fused else (bqdq or bqd),
-            block_kv_dq=None if fused else (bkvdq or bkvdc),
-            use_fused_bwd_kernel=fused,
-        )
-        kern = splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
-
-        def f(q, k, v):
-            return jax.vmap(kern)(q, k, v)
-
-        def loss(q, k, v):
-            return jnp.sum(f(q, k, v).astype(jnp.float32) ** 2)
-
-        fwd = jax.jit(f)
-        bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
         try:
+            mask = mask_lib.MultiHeadMask([mask_lib.FullMask(_shape=(S, S)) for _ in range(H)])
+            bs = splash.BlockSizes(
+                block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
+                block_q_dkv=bqd, block_kv_dkv=bkvd, block_kv_dkv_compute=bkvdc,
+                block_q_dq=None if fused else (bqdq or bqd),
+                block_kv_dq=None if fused else (bkvdq or bkvdc),
+                use_fused_bwd_kernel=fused,
+            )
+            kern = splash.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
+
+            def f(q, k, v):
+                return jax.vmap(kern)(q, k, v)
+
+            def loss(q, k, v):
+                return jnp.sum(f(q, k, v).astype(jnp.float32) ** 2)
+
+            fwd = jax.jit(f)
+            bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
             t_f = timeit(fwd, (q, k, v), args.iters)
             t_b = timeit(lambda *a: bwd(*a)[0], (q, k, v), max(args.iters // 2, 3))
         except Exception as e:  # noqa: BLE001
-            print(f"{tag:44s} FAILED: {str(e)[:120]}")
+            print(f"{tag:44s} FAILED: {str(e)[:120]}", flush=True)
             return
         print(
             f"{tag:44s} fwd {t_f*1e3:7.2f} ms ({flops_fwd/t_f/1e12:5.1f} TF/s)  "
@@ -86,12 +90,34 @@ def main():
 
     # Round 2: forward-block variants (fwd is ~68% of the K=64 ceiling) and
     # larger q_dkv (q2048 beat q1024 by ~1.3% in round 1).
-    build("fwd q1024 kv3072 c512 | bwd q2048", True, 1024, 3072, 512, 2048, 1024, 512)
-    build("fwd q1024 kv2048 c1024 | bwd q2048", True, 1024, 2048, 1024, 2048, 1024, 512)
-    build("fwd q1024 kv2048 c512 | bwd q2048 kv2048", True, 1024, 2048, 512, 2048, 2048, 512)
-    build("fwd q1024 kv2048 c512 | bwd q3072", True, 1024, 2048, 512, 3072, 1024, 512)
-    build("fwd q1024 kv2048 c512 | bwd q2048 kv2048 c1024", True, 1024, 2048, 512, 2048, 2048, 1024)
-    build("fwd q512 kv2048 c512 | bwd q2048", True, 512, 2048, 512, 2048, 1024, 512)
+    # build("fwd q1024 kv3072 c512 | bwd q2048", True, 1024, 3072, 512, 2048, 1024, 512)
+    # build("fwd q1024 kv2048 c1024 | bwd q2048", True, 1024, 2048, 1024, 2048, 1024, 512)
+    # build("fwd q1024 kv2048 c512 | bwd q2048 kv2048", True, 1024, 2048, 512, 2048, 2048, 512)
+    # build("fwd q1024 kv2048 c512 | bwd q3072", True, 1024, 2048, 512, 3072, 1024, 512)
+    # build("fwd q1024 kv2048 c512 | bwd q2048 kv2048 c1024", True, 1024, 2048, 512, 2048, 2048, 1024)
+    # build("fwd q512 kv2048 c512 | bwd q2048", True, 512, 2048, 512, 2048, 1024, 512)
+
+    # Round 3: the scoped-vmem limit is now 64 MB framework-wide
+    # (utils/tpu_flags.py) — every earlier sweep ran at the 16 MB default,
+    # which rejected fwd blocks past q1024/kv2048. Re-open the fwd space
+    # (fwd is the weaker direction: ~75% of the K=64 half-MXU ceiling vs 89%
+    # for the fused bwd) and the bwd kv4096 point (larger block_kv_dkv also
+    # SHRINKS the fused dQ-partials stack: [S/block_kv_dkv, H, S, F]).
+    # Block sizes must divide S=18432 (2^11*9): usable sizes are
+    # 512/1024/1536/2048/3072/6144/9216/18432. q2048 fwd == q1024 fwd.
+    # Measured so far (64 MB scoped vmem): fwd kv2048c512 56.9 / kv3072c512
+    # 55.0 / kv6144c1024 51.8 ms — bigger kv blocks amortize the per-block
+    # rescale bookkeeping. bwd q2048kv2048c512 119.2; kv3072c1024 117.4;
+    # q3072kv3072 134 (worse).
+    best_bwd = (2048, 2048, 512)
+    build("fwd q1024 kv9216 c1024  | bwd base", True, 1024, 9216, 1024, *best_bwd)
+    build("fwd q1024 kv18432 c1024 | bwd base", True, 1024, 18432, 1024, *best_bwd)
+    build("fwd q1024 kv6144 c512   | bwd base", True, 1024, 6144, 512, *best_bwd)
+    build("fwd q1024 kv6144 c2048  | bwd base", True, 1024, 6144, 2048, *best_bwd)
+    build("fwd q2048 kv6144 c1024  | bwd base", True, 2048, 6144, 1024, *best_bwd)
+    build("fwd q1024 kv6144 c1024  | bwd q2048 kv6144 c1024", True, 1024, 6144, 1024, 2048, 6144, 1024)
+    build("fwd q1024 kv6144 c1024  | bwd q2048 kv3072 c1024", True, 1024, 6144, 1024, 2048, 3072, 1024)
+    build("fwd q1024 kv6144 c1024  | bwd q1024 kv6144 c1024", True, 1024, 6144, 1024, 1024, 6144, 1024)
 
 
 if __name__ == "__main__":
