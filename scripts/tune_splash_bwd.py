@@ -109,15 +109,15 @@ def main():
     # 55.0 / kv6144c1024 51.8 ms — bigger kv blocks amortize the per-block
     # rescale bookkeeping. bwd q2048kv2048c512 119.2; kv3072c1024 117.4;
     # q3072kv3072 134 (worse).
-    best_bwd = (2048, 2048, 512)
-    build("fwd q1024 kv9216 c1024  | bwd base", True, 1024, 9216, 1024, *best_bwd)
-    build("fwd q1024 kv18432 c1024 | bwd base", True, 1024, 18432, 1024, *best_bwd)
-    build("fwd q1024 kv6144 c512   | bwd base", True, 1024, 6144, 512, *best_bwd)
-    build("fwd q1024 kv6144 c2048  | bwd base", True, 1024, 6144, 2048, *best_bwd)
-    build("fwd q2048 kv6144 c1024  | bwd base", True, 2048, 6144, 1024, *best_bwd)
-    build("fwd q1024 kv6144 c1024  | bwd q2048 kv6144 c1024", True, 1024, 6144, 1024, 2048, 6144, 1024)
-    build("fwd q1024 kv6144 c1024  | bwd q2048 kv3072 c1024", True, 1024, 6144, 1024, 2048, 3072, 1024)
-    build("fwd q1024 kv6144 c1024  | bwd q1024 kv6144 c1024", True, 1024, 6144, 1024, 1024, 6144, 1024)
+    # Round-2 results: fwd kv9216c1024 51.4 (best), kv6144c1024 51.8-52.9,
+    # kv18432 57.9 (spills), c512/c2048 worse. bwd q1024kv6144c1024 115.8
+    # (also 3x smaller dQ-partials stack), q2048kv3072c1024 117.4x2,
+    # q2048kv6144c1024 129 (bad). Round 3: confirm the finalists.
+    build("A fwd q1024 kv9216 c1024 | bwd q1024 kv6144 c1024", True, 1024, 9216, 1024, 1024, 6144, 1024)
+    build("B fwd q1024 kv6144 c1024 | bwd q1024 kv6144 c1024", True, 1024, 6144, 1024, 1024, 6144, 1024)
+    build("C fwd q1024 kv9216 c1024 | bwd q2048 kv2048 c512 ", True, 1024, 9216, 1024, 2048, 2048, 512)
+    build("D fwd q1024 kv9216 c1024 | bwd q1024 kv3072 c1024", True, 1024, 9216, 1024, 1024, 3072, 1024)
+    build("E fwd q1024 kv9216 c1024 | bwd q1536 kv6144 c1024", True, 1024, 9216, 1024, 1536, 6144, 1024)
 
 
 if __name__ == "__main__":

@@ -67,15 +67,20 @@ def test_attention_dispatch_accepts_windows(rng):
 
 
 def test_fused_bwd_budget_decision_matrix():
-    """Pin the fused-vs-separate-dq backward decisions to the measured cases
-    (padded-byte partials vs a params-aware HBM budget):
-    - d3072x2L flagship remat=none: fused (2.03 GB padded, measured fitting)
-    - d3072x4L unrolled remat=block: fused (same stack; remat frees room)
+    """Pin the fused-vs-separate-dq backward decisions (padded-byte partials
+    vs a params-aware HBM budget). The round-3 tuned fused profile uses
+    block_kv_dkv=6144 when it divides S, shrinking the dQ-partials stack 3x
+    vs the old 2048 square profile:
+    - d3072x2L flagship remat=none: fused (679 MB padded)
+    - d3072x4L unrolled remat=block: fused
     - d3072x4L scan-layers (conservative 1024 blocks): separate-dq (3.8 GB
-      padded OOMed v5e next to the 13 GB training state)
-    - 63 s d256 folded windows (84 pseudo-heads): fused (3.56 GB padded,
-      measured fitting — the 1.30x round-3 step-time win)
-    - 63 s d512 (168 pseudo-heads): separate-dq (7.1 GB padded)
+      padded OOMed v5e next to the 13 GB training state — the conservative
+      profile keeps the square 1024 blocks, so this is unchanged)
+    - 63 s d256 folded windows (84 pseudo-heads): fused (1.19 GB padded; was
+      3.56 GB at kv_dkv 2048, already the 1.30x round-3 step-time win)
+    - 63 s d512 (168 pseudo-heads): fused now too (2.38 GB padded, was
+      7.1 GB — moot on one v5e where d512x63s exceeds HBM anyway, but the
+      multi-chip head-sharded kernel benefits)
     """
     from ttt_video_dit_tpu.config.model_config import ModelConfig, VIDEO_DURATION_CONFIGS
 
@@ -88,7 +93,8 @@ def test_fused_bwd_budget_decision_matrix():
     assert 3.0e8 < p3072(2) < 5.0e8, p3072(2)
 
     ok = attn_mod._fused_bwd_ok
-    eff = attn_mod._eff_bwd_block
+    eff = attn_mod._eff_kv_dkv
+    assert eff(1, S, False) == 6144 and eff(1, S, True) == 1024
     assert ok(1, S, 48, F, eff(1, S, False), p3072(2))          # flagship 2L
     assert ok(1, S, 48, F, eff(1, S, False), p3072(4))          # 4L unrolled
     assert not ok(1, S, 48, F, eff(1, S, True), p3072(4))       # 4L scan-layers
@@ -97,4 +103,4 @@ def test_fused_bwd_budget_decision_matrix():
     assert ok(1, S, 21 * 4, F, eff(1, S, False), p256)          # 63 s d256 folded
     p512 = ModelConfig(model_dim=512, num_heads=8, num_layers=2, text_dim=4096,
                        **VIDEO_DURATION_CONFIGS["63sec"]).approx_param_count()
-    assert not ok(1, S, 21 * 8, F, eff(1, S, False), p512)      # 63 s d512 folded
+    assert ok(1, S, 21 * 8, F, eff(1, S, False), p512)          # 63 s d512 folded

@@ -50,35 +50,54 @@ def _chunked(q, k, v, block_q: int = _BLOCK_Q):
 from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as _mask_lib
 
 
-class _KVPadMask(_mask_lib.Mask):
+class _KVPadMask(_mask_lib._ComputableMask):
     """Lazy mask that hides the last ``S - valid`` *KV columns* (sequence
     padding). Rows are NOT masked: padded q rows attend to the real tokens,
     producing finite garbage that the caller slices away — fully-masked rows
     would yield l=0 and NaNs that poison dKV in the backward. Only the edge
     block-column is partial, so interior blocks keep the maskless fast path.
-    """
+
+    Computable (``kv_ids < valid`` from in-kernel iota) rather than
+    materialized: a materialized partial-mask tile lives in the kernel's
+    scoped VMEM and grows with block_kv — at the round-3 fwd kv9216 block it
+    pushed the kernel stack to 84.5 MB (vs ~64 MB with the mask computed
+    in-register)."""
 
     def __init__(self, S: int, valid: int):
-        self._shape = (S, S)
         self.valid = valid
 
-    @property
-    def shape(self):
-        return self._shape
+        def kv_pad_mask_function(q_ids, kv_ids):
+            return kv_ids < valid
 
-    def __getitem__(self, idx):
-        import numpy as np
-
-        i, j = idx
-        cols = np.arange(self._shape[1])[j]
-        block = np.broadcast_to(cols[None, :] < self.valid, (len(np.arange(self._shape[0])[i]), len(cols)))
-        return np.ascontiguousarray(block)
+        super().__init__(shape=(S, S), mask_function=kv_pad_mask_function)
 
     def __eq__(self, other):
-        return isinstance(other, _KVPadMask) and (self._shape, self.valid) == (other._shape, other.valid)
+        return isinstance(other, _KVPadMask) and (self.shape, self.valid) == (other.shape, other.valid)
 
     def __hash__(self):
-        return hash((type(self), self._shape, self.valid))
+        return hash((type(self), self.shape, self.valid))
+
+
+def _fwd_kv_blocks(S: int, conservative: bool) -> tuple[int, int]:
+    """Forward (block_kv, block_kv_compute) for a padded sequence length.
+
+    Tuned on v5e at S=18432 / 48 heads / head_dim 64 at the framework's
+    64 MB scoped-vmem limit (scripts/tune_splash_bwd.py, round 3): large KV
+    blocks amortize the per-block softmax rescale bookkeeping that dominates
+    at head_dim 64 — fwd q1024/kv9216/c1024 51.4 ms vs 56.9 ms for the old
+    kv2048/c512 profile (81.2 vs 73.4 TF/s; full-block kv18432 regresses to
+    57.9 ms, and c512/c2048 compute tiles lose ~2-4 ms to c1024). Splash
+    requires block_kv to divide S: callers pad S to a multiple of
+    _SPLASH_BLOCK=2048, and 9216/6144 divide such an S only when S/2048 is
+    divisible by 9/3 — true at every curriculum stage (the per-window
+    sequence is text+17550 video tokens, padded to 18432) — with kv2048 as
+    the general fallback."""
+    if conservative:
+        return min(S, 1024), min(S, 256)
+    for kv in (9216, 6144):
+        if S % kv == 0:
+            return kv, 1024
+    return min(S, 2048), min(S, 512)
 
 
 @functools.lru_cache(maxsize=16)
@@ -87,40 +106,39 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, co
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces.
 
-    Block sizes tuned on v5e at S=18432 / 48 heads / head_dim 64
-    (scripts/tune_splash_bwd.py): fwd q1024/kv2048/compute512 56.7 ms (vs
-    62.5 at kv1024); fused bwd q2048/kv2048/compute512 119.2 ms (vs 127.2 at
-    1024/1024) — fwd+bwd 175.9 ms vs 189.7. Each size is capped at S; callers
-    pad S to a multiple of _SPLASH_BLOCK so every block divides S.
-    kv_compute at 512 keeps the scores tile inside splash's fixed 16 MB
-    scoped-vmem stack, which full-block compute can exceed when surrounding
-    remat fusions share the budget (seen at 42 layers).
+    Forward blocks come from _fwd_kv_blocks (tuned round 3 at the 64 MB
+    scoped-vmem limit). Fused backward tuned at S=18432/H=48
+    (scripts/tune_splash_bwd.py): q_dkv 1024 / kv_dkv 6144 / compute 1024
+    measures 115.8 ms vs 119.2 ms for the old q2048/kv2048/c512 — and the
+    3x-larger kv_dkv shrinks the fused dQ-partials stack
+    [S/block_kv_dkv, H, S, F] by 3x (see _fused_bwd_ok), which is what lets
+    deep-remat configs keep the fused path. kv_dkv 6144 applies only when it
+    divides S (always true at the curriculum stages); otherwise the proven
+    ``bwd_block`` square profile.
 
     ``bwd_block`` is 2048 when the kernel is called once per data-batch
     element (the head grid absorbs attention windows, see _splash); a vmapped
-    batch dimension > 1 blew the 16 MB scoped-vmem stack at 2048x2048 dkv
+    batch dimension > 1 blew a 16 MB scoped-vmem stack at 2048x2048 dkv
     (measured 45 MB) and keeps the proven 1024 blocks.
 
-    ``conservative`` caps every block at 1024: under scan-over-layers the
-    kernel shares the scoped-vmem stack with the surrounding while-loop remat
-    fusions, and the tuned fwd kv2048 config overflows it (20 MB > 16 MB,
-    seen at 42 layers with --scan-layers)."""
+    ``conservative`` caps every block at 1024 (fwd compute at 256): under
+    scan-over-layers the kernel shares the scoped-vmem stack with the
+    surrounding while-loop remat fusions, and the tuned fwd config overflows
+    it (seen at 42 layers with --scan-layers; at 6 windows even the lean
+    1024/512 stack measured 268 KB over a 16 MB limit)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_mask as mask_lib
 
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
     cap = lambda b: min(b, S if not conservative else min(S, 1024))
-    # The conservative profile also halves the compute tile: at 6 windows the
-    # lean 1024/512 stack still measured 16.26 MB (268 KB over the 16 MB
-    # scoped limit, seen at the 18 s stage); 256 puts every windowed stage
-    # comfortably under.
-    kv_compute = cap(512 if not conservative else 256)
+    fwd_kv, fwd_compute = _fwd_kv_blocks(S, conservative)
+    q_dkv, kv_dkv, dkv_compute = _bwd_blocks(S, bwd_block, conservative, fused_bwd)
     bs = splash.BlockSizes(
-        block_q=cap(1024), block_kv=cap(2048), block_kv_compute=kv_compute,
-        block_q_dkv=cap(bwd_block), block_kv_dkv=cap(bwd_block), block_kv_dkv_compute=kv_compute,
+        block_q=cap(1024), block_kv=fwd_kv, block_kv_compute=fwd_compute,
+        block_q_dkv=q_dkv, block_kv_dkv=kv_dkv, block_kv_dkv_compute=dkv_compute,
         block_q_dq=None if fused_bwd else cap(1024),
-        block_kv_dq=None if fused_bwd else kv_compute,
+        block_kv_dq=None if fused_bwd else cap(512 if not conservative else 256),
         use_fused_bwd_kernel=fused_bwd,
     )
     return mask, bs
@@ -130,12 +148,29 @@ def _bwd_block(batch: int) -> int:
     return 2048 if batch == 1 else 1024
 
 
-def _eff_bwd_block(batch: int, S: int, conservative: bool) -> int:
-    """The block_kv_dkv the kernel will actually use: _bwd_block capped by S
-    and by the conservative profile's 1024 ceiling (mirrors _splash_spec's
-    cap())."""
-    b = min(_bwd_block(batch), S)
-    return min(b, 1024) if conservative else b
+def _bwd_blocks(S: int, bwd_block: int, conservative: bool, fused_bwd: bool = True):
+    """(block_q_dkv, block_kv_dkv, block_kv_dkv_compute) the kernel runs.
+
+    The tuned fused profile is q_dkv 1024 / kv_dkv 6144 / compute 1024
+    (115.8 ms vs 119.2 for the square 2048/c512 profile at S=18432/H=48, and
+    a 3x smaller dQ-partials stack). It applies only on the fused path
+    (the separate-dq dkv kernel was not measured with a rectangular profile)
+    at the full ``bwd_block`` budget (B==1) when 6144 divides S; everything
+    else keeps the proven square ``bwd_block`` profile. The conservative
+    profile caps at 1024/compute 256 (see _splash_spec)."""
+    if conservative:
+        b = min(S, 1024)
+        return b, b, min(S, 256)
+    if fused_bwd and bwd_block == 2048 and S % 6144 == 0:
+        return min(S, 1024), 6144, 1024
+    b = min(S, bwd_block)
+    return b, b, min(S, 512)
+
+
+def _eff_kv_dkv(batch: int, S: int, conservative: bool) -> int:
+    """The block_kv_dkv the *fused* kernel would use — sizes the fused
+    dQ-partials stack in _fused_bwd_ok (partials shrink as kv_dkv grows)."""
+    return _bwd_blocks(S, _bwd_block(batch), conservative, fused_bwd=True)[1]
 
 
 # v5e usable HBM (15.75 GB after system reserve, from compiler OOM reports).
@@ -146,9 +181,9 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
                   param_count: int = 0, reserved_bytes: int = 0) -> bool:
     """The fused splash backward materializes per-kv-block dQ partials
     [batch, S/block_kv_dkv, H, S, F]; decide whether that stack fits next to
-    the training state. ``bwd_block`` must be the block size the kernel will
-    actually run (_eff_bwd_block) — the conservative profile halves it,
-    doubling the partials stack. The separate-dq backward is ~25-34 % slower
+    the training state. ``bwd_block`` must be the block_kv_dkv the kernel will
+    actually run (_eff_kv_dkv): 6144 on the tuned fused profile, 1024 on the
+    conservative profile (a 6x larger partials stack). The separate-dq backward is ~25-34 % slower
     on the attention bwd (scripts/tune_splash_bwd.py) but O(batch * S * F)
     in memory.
 
@@ -232,7 +267,7 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: 
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, S, Ht, F, _eff_bwd_block(B, S, lean), param_count, reserved_bytes)
+    fused = _fused_bwd_ok(B, S, Ht, F, _eff_kv_dkv(B, S, lean), param_count, reserved_bytes)
     kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
@@ -257,7 +292,7 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     B = BC // windows
     Ht = windows * H
     lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_bwd_block(B, Sp, lean), param_count, reserved_bytes)
+    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_kv_dkv(B, Sp, lean), param_count, reserved_bytes)
     kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), lean)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)

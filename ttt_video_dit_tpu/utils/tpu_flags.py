@@ -1,9 +1,11 @@
 """TPU runtime flags the framework depends on.
 
 The default Mosaic scoped-vmem limit is 16 MB — a conservative fraction of
-the 128 MB VMEM on v5e. The tuned splash-attention block profile
-(q1024/kv2048/c512 with a masked edge block) needs a ~20 MB kernel stack, so
-every entry point raises the limit before backend init. The TTT kernels set
+the 128 MB VMEM on v5e. The round-3 tuned splash-attention block profile
+(fwd q1024/kv9216/c1024, bwd q1024/kv6144/c1024) needs an ~85 MB kernel
+stack when the padded-KV edge block carries a partial mask (the lazy
+_KVPadMask tile grows with block_kv), so every entry point raises the limit
+to 100 MB before backend init — v5e has 128 MB of VMEM. The TTT kernels set
 their own explicit per-kernel budget (CompilerParams vmem_limit_bytes) and
 are unaffected by this global default.
 
@@ -14,7 +16,7 @@ snapshot).
 
 import os
 
-SCOPED_VMEM_KIB = 64 * 1024
+SCOPED_VMEM_KIB = 100 * 1024
 
 
 def ensure_tpu_flags(scoped_vmem_kib: int = SCOPED_VMEM_KIB) -> None:
