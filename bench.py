@@ -53,6 +53,8 @@ def main():
                         help="train-step MFU (default, driver contract) or DPM++ denoise throughput")
     parser.add_argument("--eval-mini-batch", type=int, default=16,
                         help="sample-mode TTT mini-batch (reference eval TOMLs use 16)")
+    parser.add_argument("--splash-lean", default="auto", choices=["auto", "on", "off"],
+                        help="splash block profile under scan-layers: auto=lean iff scan-layers")
     parser.add_argument("--scan-layers", action="store_true",
                         help="lax.scan over transformer layers (one-layer HLO; for deep configs)")
     parser.add_argument("--storyboards", type=int, default=1,
@@ -101,6 +103,7 @@ def main():
         remat_reverse_ssm=args.remat == "full",
         remat_policy=args.remat_policy,
         scan_layers=args.scan_layers,
+        splash_lean_blocks={"auto": None, "on": True, "off": False}[args.splash_lean],
         dtype="bfloat16",
         **VIDEO_DURATION_CONFIGS[args.video_length],
     )

@@ -87,6 +87,13 @@ class ModelConfig:
     # becomes {scan_layers/layer/...: [L, ...]} — use stack_layer_params() to
     # convert checkpoints; the HF converter targets the unrolled layout.
     scan_layers: bool = False
+    # Splash-attention block profile under scan-over-layers. The kernel
+    # shares the Mosaic scoped-vmem stack with the scan body's remat fusions,
+    # which historically forced a vmem-lean 1024-block profile there
+    # (ops/attention.py:_splash_spec). At the 100 MB scoped limit the tuned
+    # blocks may fit too; None = auto (lean iff scan_layers), True/False
+    # forces lean/tuned.
+    splash_lean_blocks: bool | None = None
     # Remat
     # Wrap each layer group in jax.checkpoint (the reference always does,
     # reference: dit.py:494-502); disable for single-chip benches where

@@ -210,8 +210,11 @@ class SegmentLocalAttention(nn.Module):
         # head grid, ops/attention.py:_splash) so every curriculum stage gets
         # the tuned block profile. Under scan-over-layers splash shares
         # scoped vmem with the loop's remat fusions; use the vmem-lean block
-        # profile there.
-        attn = attention(q, k, v, conservative=cfg.scan_layers, windows=C,
+        # profile there (cfg.splash_lean_blocks overrides the heuristic).
+        lean = cfg.splash_lean_blocks
+        attn = attention(q, k, v,
+                         conservative=cfg.scan_layers if lean is None else lean,
+                         windows=C,
                          param_count=cfg.approx_param_count(),
                          reserved_bytes=_policy_reserved_bytes(cfg, meta, B, S, C))  # [B*C, S, H, F]
         attn = attn.reshape(B * C, S, D)

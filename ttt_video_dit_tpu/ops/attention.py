@@ -101,7 +101,7 @@ def _fwd_kv_blocks(S: int, conservative: bool) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=16)
-def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, conservative: bool):
+def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, fwd_lean: bool, bwd_lean: bool):
     """Cache only the (hashable) mask + block config; the kernel itself is
     built fresh per trace — caching the kernel object leaks traced mask-info
     arrays across jit traces.
@@ -131,14 +131,14 @@ def _splash_spec(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, co
 
     base = mask_lib.FullMask(_shape=(S, S)) if valid == S else _KVPadMask(S, valid)
     mask = mask_lib.MultiHeadMask([base for _ in range(H)])
-    cap = lambda b: min(b, S if not conservative else min(S, 1024))
-    fwd_kv, fwd_compute = _fwd_kv_blocks(S, conservative)
-    q_dkv, kv_dkv, dkv_compute = _bwd_blocks(S, bwd_block, conservative, fused_bwd)
+    cap = lambda b, lean: min(b, S if not lean else min(S, 1024))
+    fwd_kv, fwd_compute = _fwd_kv_blocks(S, fwd_lean)
+    q_dkv, kv_dkv, dkv_compute = _bwd_blocks(S, bwd_block, bwd_lean, fused_bwd)
     bs = splash.BlockSizes(
-        block_q=cap(1024), block_kv=fwd_kv, block_kv_compute=fwd_compute,
+        block_q=cap(1024, fwd_lean), block_kv=fwd_kv, block_kv_compute=fwd_compute,
         block_q_dkv=q_dkv, block_kv_dkv=kv_dkv, block_kv_dkv_compute=dkv_compute,
-        block_q_dq=None if fused_bwd else cap(1024),
-        block_kv_dq=None if fused_bwd else cap(512 if not conservative else 256),
+        block_q_dq=None if fused_bwd else cap(1024, bwd_lean),
+        block_kv_dq=None if fused_bwd else cap(512 if not bwd_lean else 256, bwd_lean),
         use_fused_bwd_kernel=fused_bwd,
     )
     return mask, bs
@@ -222,10 +222,10 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
 _INTERPRET = False
 
 
-def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, conservative: bool = False):
+def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, fwd_lean: bool = False, bwd_lean: bool = False):
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
-    mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, conservative)
+    mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, fwd_lean, bwd_lean)
     # residual_checkpoint_name tags the kernel's residuals (out + logsumexp)
     # so the save_seq remat policy (models/dit/dit.py:_ckpt_policy) can keep
     # them: the splash forward is then never recomputed in the backward pass
@@ -266,9 +266,13 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: 
     assert BC % windows == 0, f"batch {BC} not divisible by windows {windows}"
     B = BC // windows
     Ht = windows * H
-    lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, S, Ht, F, _eff_kv_dkv(B, S, lean), param_count, reserved_bytes)
-    kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), lean)
+    # Backward leanness also triggers at B > 1 (the vmapped dkv stack);
+    # forward blocks have no dkv stack, so only scan-layers (conservative)
+    # makes the forward lean — CFG sampling (B=2, forward-only) keeps the
+    # tuned forward profile.
+    bwd_lean = conservative or B > 1
+    fused = _fused_bwd_ok(B, S, Ht, F, _eff_kv_dkv(B, S, bwd_lean), param_count, reserved_bytes)
+    kernel = _splash_kernel(S, Ht, S, fused, _bwd_block(B), conservative, bwd_lean)
     scale = 1.0 / (F**0.5)
     # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
     # free: C and H are adjacent after the transpose).
@@ -291,9 +295,9 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     B = BC // windows
     Ht = windows * H
-    lean = conservative or B > 1
-    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_kv_dkv(B, Sp, lean), param_count, reserved_bytes)
-    kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), lean)
+    bwd_lean = conservative or B > 1  # see _splash on the fwd/bwd split
+    fused = _fused_bwd_ok(B, Sp, Ht, F, _eff_kv_dkv(B, Sp, bwd_lean), param_count, reserved_bytes)
+    kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), conservative, bwd_lean)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)
     out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
