@@ -36,6 +36,54 @@ def test_native_matches_numpy(tmp_path, dtype, shape):
     np.testing.assert_array_equal(out, arr)
 
 
+@pytest.mark.parametrize("compressed", [False, True])
+def test_native_npz_matches_numpy(tmp_path, compressed):
+    """.npz containers: the native loader returns the first member —
+    exactly what load_tensor's numpy path (np.load(...)[first key]) returns —
+    for both stored (np.savez) and deflate (np.savez_compressed) members."""
+    rng = np.random.default_rng(4)
+    first = rng.standard_normal((6, 5)).astype(np.float32)
+    second = rng.standard_normal((3,)).astype(np.float64)
+    p = str(tmp_path / "c.npz")
+    (np.savez_compressed if compressed else np.savez)(p, vid=first, aux=second)
+    out = native.load_npy(p)
+    np.testing.assert_array_equal(out, first)
+    ref = np.load(p)
+    np.testing.assert_array_equal(out, ref[list(ref.keys())[0]])
+
+
+def test_load_tensor_npz_roundtrip(tmp_path):
+    from ttt_video_dit_tpu.data.dataset import load_tensor
+
+    arr = np.random.default_rng(5).standard_normal((4, 7)).astype(np.float32)
+    p = str(tmp_path / "z.npz")
+    np.savez_compressed(p, x=arr)
+    np.testing.assert_array_equal(load_tensor(p), arr)
+
+
+def test_npz_in_prefetch_pool(tmp_path):
+    arr = np.random.default_rng(6).standard_normal((8, 8)).astype(np.float16)
+    p = str(tmp_path / "p.npz")
+    np.savez(p, a=arr)
+    pool = native.PrefetchPool(num_threads=1)
+    try:
+        jid = pool.fetch(p)
+        np.testing.assert_array_equal(pool.wait(jid), arr)
+    finally:
+        pool.close()
+
+
+def test_native_npz_rejects_non_npy_zip(tmp_path):
+    """A zip with no .npy member raises (load_tensor then falls back)."""
+    import zipfile
+
+    p = str(tmp_path / "bad.npz")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("readme.txt", "not an array")
+    with pytest.raises(IOError):
+        native.load_npy(p)
+
+
 def test_native_rejects_fortran_order(tmp_path):
     arr = np.asfortranarray(np.arange(12, dtype=np.float32).reshape(3, 4))
     p = str(tmp_path / "f.npy")

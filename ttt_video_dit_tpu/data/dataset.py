@@ -27,20 +27,21 @@ import numpy as np
 
 
 def load_tensor(path: str) -> np.ndarray:
-    if path.endswith(".npy"):
+    if path.endswith((".npy", ".npz")):
         # Native C++ reader when the toolchain allows (ttt_video_dit_tpu/
-        # data/_native); byte-identical to np.load, parses+reads off the GIL.
+        # data/_native); byte-identical to np.load (for .npz: the first
+        # member, stored or deflate), parses+reads+inflates off the GIL.
         from ttt_video_dit_tpu.data import native
 
         if native.available():
             try:
                 return native.load_npy(path)
             except (IOError, RuntimeError):
-                pass  # unusual dtype/layout -> numpy fallback
+                pass  # unusual dtype/layout/zip64 -> numpy fallback
+        if path.endswith(".npz"):
+            data = np.load(path)
+            return data[list(data.keys())[0]]
         return np.load(path)
-    if path.endswith(".npz"):
-        data = np.load(path)
-        return data[list(data.keys())[0]]
     # torch .pt — torch-cpu is a baked-in dependency used only as a file loader.
     import torch
 
@@ -107,7 +108,7 @@ class PreembeddingDataset:
         sequential load (reference: ttt/datasets/preembedding_dataset.py:36-41)."""
         if pool is None:
             return [self[i] for i in indices]
-        fetch = lambda p: pool.fetch(p) if p.endswith(".npy") else None
+        fetch = lambda p: pool.fetch(p) if p.endswith((".npy", ".npz")) else None
         plan = []
         for i in indices:
             md = self.metadata_list[i]

@@ -1,4 +1,4 @@
-"""ctypes binding + lazy build of the native .npy prefetch loader.
+"""ctypes binding + lazy build of the native .npy/.npz prefetch loader.
 
 The C++ source lives in ``_native/npy_loader.cpp`` and is compiled once with
 the system ``g++`` into the user cache dir (no pybind11 in the image; plain
@@ -47,7 +47,7 @@ def _build() -> Optional[str]:
     so = osp.join(out_dir, "npy_loader.so")
     if osp.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread", src, "-o", so + ".tmp"]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread", src, "-o", so + ".tmp", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so + ".tmp", so)
@@ -104,7 +104,10 @@ def _to_array(lib, data, shape, ndim, dtype) -> np.ndarray:
 
 
 def load_npy(path: str) -> np.ndarray:
-    """Synchronous native .npy read (falls back by raising if unavailable)."""
+    """Synchronous native array read: bare ``.npy``, or the first ``.npy``
+    member of a ``.npz`` zip (stored or deflate — same member ``np.load``'s
+    first key resolves to). Raises if the native library is unavailable or
+    the file needs a Python fallback (zip64, exotic dtype, pickled object)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
