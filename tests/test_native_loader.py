@@ -130,6 +130,124 @@ def test_load_tensor_uses_native_path(tmp_path):
     np.testing.assert_array_equal(load_tensor(p), arr)
 
 
+@pytest.mark.parametrize(
+    "dtype,shape",
+    [
+        ("float32", (3, 4, 5)),
+        ("float16", (7, 2)),
+        ("bfloat16", (30, 20)),
+        ("float64", (2, 3)),
+        ("int64", (4, 6)),
+        ("uint8", (5, 5)),
+        ("float32", ()),  # 0-d
+    ],
+)
+def test_native_pt_matches_torch(tmp_path, dtype, shape):
+    """torch .pt zip containers (the reference's precomputed-latent format,
+    reference: data/precomp_video.py) read natively; bf16 widens to f4
+    exactly like torch.load(...).float()."""
+    torch = pytest.importorskip("torch")
+    t = (torch.rand(shape, dtype=torch.float64) * 100).to(getattr(torch, dtype))
+    p = str(tmp_path / "t.pt")
+    torch.save(t, p)
+    got = native.load_npy(p)
+    if dtype == "bfloat16":
+        want = t.to(torch.float32).numpy()
+    else:
+        want = t.numpy()
+    assert got.shape == tuple(t.shape) and got.dtype == want.dtype
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_pt_strided_views(tmp_path):
+    """Non-contiguous / storage-offset tensors gather to C-order, matching
+    torch.load's materialized view."""
+    torch = pytest.importorskip("torch")
+    base = torch.randn(10, 12)
+    for name, view in [
+        ("transposed", base.t()),
+        ("sliced", base[2:7, 1:9]),
+        ("strided", base[::2, ::3]),
+        ("empty", torch.zeros(0, 4)),
+    ]:
+        p = str(tmp_path / f"{name}.pt")
+        torch.save(view, p)
+        np.testing.assert_array_equal(native.load_npy(p), view.numpy(), err_msg=name)
+
+
+def test_native_pt_rejects_non_tensor(tmp_path):
+    """dict/list pickles raise (-42) so load_tensor falls back to torch."""
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "d.pt")
+    torch.save({"a": torch.randn(2)}, p)
+    with pytest.raises(IOError):
+        native.load_npy(p)
+    # the fallback path still honors the single-tensor contract by raising
+    from ttt_video_dit_tpu.data.dataset import load_tensor
+
+    with pytest.raises(Exception):
+        load_tensor(p)
+
+
+def test_load_tensor_pt_contract(tmp_path):
+    """load_tensor('.pt') returns float32 regardless of stored dtype — the
+    torch path's .to(torch.float32) contract — via the native reader."""
+    torch = pytest.importorskip("torch")
+    from ttt_video_dit_tpu.data.dataset import load_tensor
+
+    for dt in (torch.float16, torch.bfloat16, torch.float32):
+        t = torch.randn(6, 7).to(dt)
+        p = str(tmp_path / "x.pt")
+        torch.save(t, p)
+        out = load_tensor(p)
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, t.to(torch.float32).numpy())
+
+
+def test_pt_in_prefetch_pool(tmp_path):
+    torch = pytest.importorskip("torch")
+    t = torch.randn(8, 8, dtype=torch.float16)
+    p = str(tmp_path / "p.pt")
+    torch.save(t, p)
+    pool = native.PrefetchPool(num_threads=1)
+    try:
+        np.testing.assert_array_equal(pool.wait(pool.fetch(p)), t.numpy())
+    finally:
+        pool.close()
+
+
+def test_load_batch_pool_pt_matches_sequential(tmp_path):
+    """A pooled batch whose files are torch .pt posteriors equals the
+    sequential path (which exercises _finish's float32 conversion)."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    from ttt_video_dit_tpu.data.dataset import PreembeddingDataset
+
+    g = torch.Generator().manual_seed(0)
+    jsonl = tmp_path / "meta.jsonl"
+    with open(jsonl, "w") as f:
+        for i in range(4):
+            vid_p = tmp_path / f"vid{i}.pt"
+            torch.save(torch.randn(3, 4, 2, 2, generator=g, dtype=torch.float32).to(torch.bfloat16), vid_p)
+            txt_ps = []
+            for s in range(2):
+                tp = tmp_path / f"txt{i}_{s}.pt"
+                torch.save(torch.randn(5, 8, generator=g), tp)
+                txt_ps.append(str(tp))
+            f.write(json.dumps({"vid_emb": str(vid_p), "text_chunk_emb": txt_ps}) + "\n")
+    make = lambda: PreembeddingDataset(None, 0.7, str(jsonl), seed=11)
+    seq = make().load_batch([2, 0, 3])
+    pool = native.PrefetchPool(num_threads=2)
+    try:
+        par = make().load_batch([2, 0, 3], pool)
+    finally:
+        pool.close()
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["vid"], b["vid"])
+        np.testing.assert_array_equal(a["text"], b["text"])
+
+
 def _make_dataset(tmp_path, n=6, scenes=2, broken=()):
     """Tiny on-disk preembedding dataset; indices in ``broken`` get a
     corrupt vid file so the per-sample retry fallback is exercised."""

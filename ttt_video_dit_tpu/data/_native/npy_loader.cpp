@@ -14,6 +14,17 @@
 // a .npz zip container (stored or deflate; matches np.load(...)[first key]).
 // Deflated members stream through zlib straight into the result buffer, so
 // peak memory is payload + one 64 KB window, never 2x the array.
+//
+// Torch `.pt` containers (the reference's precomputed-latent format,
+// reference: data/precomp_video.py torch.save) are also read natively: the
+// zip member `*/data.pkl` is run through a minimal protocol-2 pickle VM
+// that accepts exactly the shape torch.save emits for ONE plain CPU tensor
+// (torch._utils._rebuild_tensor_v2 over a persistent storage id), then the
+// `*/data/<key>` member supplies the payload. Arbitrary strides and storage
+// offsets are gathered into a C-order result; BFloat16Storage widens to f4
+// (numpy has no bf16 — torch.load().float() agrees bit-exactly). Anything
+// else (dicts, sparse/quantized tensors, legacy non-zip .pt) returns an
+// error and the Python caller falls back to torch.load.
 
 #include <zlib.h>
 
@@ -197,11 +208,19 @@ inline uint32_t rd32(const unsigned char* p) {
   return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
 }
 
-// Locate the first `.npy` member of a zip archive (np.savez writes members
-// in key order; np.load(...)[list(keys)[0]] reads the same first member).
-// Outputs the member's payload offset/compressed size/method. Zip64 archives
-// (any 0xFFFFFFFF marker) return -31 and the caller falls back to Python.
-int find_zip_member(FILE* f, long* data_off, size_t* comp_size, int* method) {
+struct ZipEntry {
+  std::string name;
+  int method = 0;          // 0 stored, 8 deflate
+  size_t comp_size = 0;
+  size_t uncomp_size = 0;
+  long local_off = 0;      // local-header offset (payload located lazily)
+};
+
+// Scan the central directory into `entries` (np.savez writes members in key
+// order; torch.save writes data.pkl + one member per storage). Zip64
+// archives (any 0xFFFFFFFF marker) return -31 and the caller falls back to
+// Python.
+int scan_zip(FILE* f, std::vector<ZipEntry>* entries) {
   if (fseek(f, 0, SEEK_END) != 0) return -30;
   long fsize = ftell(f);
   if (fsize < 22) return -30;
@@ -227,34 +246,461 @@ int find_zip_member(FILE* f, long* data_off, size_t* comp_size, int* method) {
   if (fread(cd.data(), 1, cd_size, f) != cd_size) return -30;
 
   size_t p = 0;
-  long local_off = -1;
   for (int e = 0; e < nent; ++e) {
     if (p + 46 > cd.size() || rd32(&cd[p]) != 0x02014b50) return -32;
-    uint16_t m = rd16(&cd[p + 10]);
+    ZipEntry ze;
+    ze.method = rd16(&cd[p + 10]);
     uint32_t csize = rd32(&cd[p + 20]);
+    uint32_t usize = rd32(&cd[p + 24]);
     uint16_t name_len = rd16(&cd[p + 28]);
     uint16_t extra_len = rd16(&cd[p + 30]);
     uint16_t comment_len = rd16(&cd[p + 32]);
     uint32_t lho = rd32(&cd[p + 42]);
     if (p + 46 + name_len > cd.size()) return -32;
-    std::string name((const char*)&cd[p + 46], name_len);
-    if (name.size() >= 4 && name.compare(name.size() - 4, 4, ".npy") == 0) {
-      if (csize == 0xFFFFFFFF || lho == 0xFFFFFFFF) return -31;  // zip64
-      if (m != 0 && m != 8) return -33;  // stored / deflate only
-      *comp_size = csize;
-      *method = m;
-      local_off = (long)lho;
-      break;
-    }
+    if (csize == 0xFFFFFFFF || usize == 0xFFFFFFFF || lho == 0xFFFFFFFF) return -31;  // zip64
+    ze.name.assign((const char*)&cd[p + 46], name_len);
+    ze.comp_size = csize;
+    ze.uncomp_size = usize;
+    ze.local_off = (long)lho;
+    entries->push_back(std::move(ze));
     p += 46 + name_len + extra_len + comment_len;
   }
-  if (local_off < 0) return -34;  // no .npy member
+  return 0;
+}
 
+// Position `f` at the entry's payload (past the local header).
+int seek_member(FILE* f, const ZipEntry& e) {
   unsigned char lh[30];
-  if (fseek(f, local_off, SEEK_SET) != 0) return -30;
+  if (fseek(f, e.local_off, SEEK_SET) != 0) return -30;
   if (fread(lh, 1, 30, f) != 30 || rd32(lh) != 0x04034b50) return -35;
   uint16_t nlen = rd16(&lh[26]), elen = rd16(&lh[28]);
-  *data_off = local_off + 30 + nlen + elen;
+  if (fseek(f, e.local_off + 30 + nlen + elen, SEEK_SET) != 0) return -30;
+  return 0;
+}
+
+// Stream exactly `n` bytes of the (possibly deflated) member into `dst`.
+// The member may hold more than `n` bytes (e.g. a storage shared by views);
+// trailing bytes are left unread.
+int read_member_into(FILE* f, const ZipEntry& e, void* dst, size_t n) {
+  if (e.method != 0 && e.method != 8) return -33;
+  int rc = seek_member(f, e);
+  if (rc != 0) return rc;
+  if (e.method == 0) {
+    FileReader in(f, e.comp_size);
+    return in.read(dst, n) ? 0 : -36;
+  }
+  InflateReader in(f, e.comp_size);
+  return in.read(dst, n) ? 0 : -36;
+}
+
+// ---------------------------------------------------------------------------
+// Torch .pt: minimal pickle (protocol <=4) VM, just rich enough for the
+// stream torch.save emits for one plain CPU tensor. Everything unexpected
+// fails loudly (negative rc) and the Python caller falls back to torch.load.
+// ---------------------------------------------------------------------------
+
+struct PVal {
+  enum T { NONE, BOOL, INT, FLT, STR, TUPLE, LIST, DICT, GLOBAL, OBJ, PERSID } t = NONE;
+  int64_t i = 0;
+  double d = 0;
+  std::string s;            // STR text; GLOBAL/OBJ "module name"
+  std::vector<PVal> items;  // TUPLE/LIST elements; OBJ reduce args; PERSID pid tuple
+};
+
+struct Unpickler {
+  const unsigned char* p;
+  size_t n, pos = 0;
+  std::vector<PVal> stack;
+  std::vector<size_t> marks;
+  std::map<uint64_t, PVal> memo;
+
+  bool take(void* dst, size_t k) {
+    if (pos + k > n) return false;
+    memcpy(dst, p + pos, k);
+    pos += k;
+    return true;
+  }
+  bool line(std::string* out) {  // newline-terminated ascii (GLOBAL args)
+    size_t e = pos;
+    while (e < n && p[e] != '\n') ++e;
+    if (e >= n) return false;
+    out->assign((const char*)p + pos, e - pos);
+    pos = e + 1;
+    return true;
+  }
+  bool pop(PVal* out) {
+    if (stack.empty()) return false;
+    *out = std::move(stack.back());
+    stack.pop_back();
+    return true;
+  }
+  bool pop_mark(std::vector<PVal>* out) {
+    if (marks.empty() || stack.size() < marks.back()) return false;
+    out->assign(std::make_move_iterator(stack.begin() + marks.back()),
+                std::make_move_iterator(stack.end()));
+    stack.resize(marks.back());
+    marks.pop_back();
+    return true;
+  }
+
+  // Returns 0 and leaves the unpickled object in *result, else <0.
+  int run(PVal* result) {
+    while (pos < n) {
+      unsigned char op = p[pos++];
+      switch (op) {
+        case 0x80: {  // PROTO
+          unsigned char v;
+          if (!take(&v, 1)) return -41;
+          break;
+        }
+        case 0x95: {  // FRAME (proto 4): 8-byte length, informational
+          uint64_t len;
+          if (!take(&len, 8)) return -41;
+          break;
+        }
+        case '.': {  // STOP
+          if (stack.size() != 1) return -41;
+          *result = std::move(stack.back());
+          return 0;
+        }
+        case '(':  // MARK
+          marks.push_back(stack.size());
+          break;
+        case 'N':
+          stack.emplace_back();
+          break;
+        case 0x88: case 0x89: {  // NEWTRUE / NEWFALSE
+          PVal v; v.t = PVal::BOOL; v.i = (op == 0x88);
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'K': {  // BININT1
+          unsigned char b;
+          if (!take(&b, 1)) return -41;
+          PVal v; v.t = PVal::INT; v.i = b;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'M': {  // BININT2
+          unsigned char b[2];
+          if (!take(b, 2)) return -41;
+          PVal v; v.t = PVal::INT; v.i = rd16(b);
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'J': {  // BININT (signed 32)
+          unsigned char b[4];
+          if (!take(b, 4)) return -41;
+          PVal v; v.t = PVal::INT; v.i = (int32_t)rd32(b);
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 0x8a: {  // LONG1: little-endian two's-complement, k bytes
+          unsigned char k;
+          if (!take(&k, 1) || k > 8) return -41;
+          unsigned char b[8] = {0};
+          if (!take(b, k)) return -41;
+          int64_t v64 = 0;
+          for (int i = (int)k - 1; i >= 0; --i) v64 = (v64 << 8) | b[i];
+          if (k > 0 && k < 8 && (b[k - 1] & 0x80)) v64 -= (int64_t)1 << (8 * k);
+          PVal v; v.t = PVal::INT; v.i = v64;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'G': {  // BINFLOAT (big-endian f8)
+          unsigned char b[8];
+          if (!take(b, 8)) return -41;
+          uint64_t u = 0;
+          for (int i = 0; i < 8; ++i) u = (u << 8) | b[i];
+          PVal v; v.t = PVal::FLT;
+          memcpy(&v.d, &u, 8);
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'X': case 'T': case 'B': {  // BINUNICODE / BINSTRING / BINBYTES
+          unsigned char b[4];
+          if (!take(b, 4)) return -41;
+          uint32_t len = rd32(b);
+          PVal v; v.t = PVal::STR;
+          v.s.resize(len);
+          if (len && !take(&v.s[0], len)) return -41;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 0x8c: case 'U': case 'C': {  // SHORT_BINUNICODE / SHORT_BINSTRING / SHORT_BINBYTES
+          unsigned char len;
+          if (!take(&len, 1)) return -41;
+          PVal v; v.t = PVal::STR;
+          v.s.resize(len);
+          if (len && !take(&v.s[0], len)) return -41;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'c': {  // GLOBAL: "module\nname\n"
+          std::string mod, name;
+          if (!line(&mod) || !line(&name)) return -41;
+          PVal v; v.t = PVal::GLOBAL; v.s = mod + " " + name;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 0x93: {  // STACK_GLOBAL
+          PVal name, mod;
+          if (!pop(&name) || !pop(&mod)) return -41;
+          if (mod.t != PVal::STR || name.t != PVal::STR) return -41;
+          PVal v; v.t = PVal::GLOBAL; v.s = mod.s + " " + name.s;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case ')': {  // EMPTY_TUPLE
+          PVal v; v.t = PVal::TUPLE;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 0x85: case 0x86: case 0x87: {  // TUPLE1/2/3
+          int k = op - 0x85 + 1;
+          if ((int)stack.size() < k) return -41;
+          PVal v; v.t = PVal::TUPLE;
+          v.items.assign(std::make_move_iterator(stack.end() - k),
+                         std::make_move_iterator(stack.end()));
+          stack.resize(stack.size() - k);
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 't': {  // TUPLE (to mark)
+          PVal v; v.t = PVal::TUPLE;
+          if (!pop_mark(&v.items)) return -41;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case ']': {  // EMPTY_LIST
+          PVal v; v.t = PVal::LIST;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case '}': {  // EMPTY_DICT
+          PVal v; v.t = PVal::DICT;
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'a': {  // APPEND
+          PVal x;
+          if (!pop(&x) || stack.empty() || stack.back().t != PVal::LIST) return -41;
+          stack.back().items.push_back(std::move(x));
+          break;
+        }
+        case 'e': {  // APPENDS
+          std::vector<PVal> xs;
+          if (!pop_mark(&xs) || stack.empty() || stack.back().t != PVal::LIST) return -41;
+          for (auto& x : xs) stack.back().items.push_back(std::move(x));
+          break;
+        }
+        case 's': {  // SETITEM — dict contents unused; drop key/value
+          PVal v, k;
+          if (!pop(&v) || !pop(&k) || stack.empty() || stack.back().t != PVal::DICT) return -41;
+          break;
+        }
+        case 'u': {  // SETITEMS
+          std::vector<PVal> kv;
+          if (!pop_mark(&kv) || stack.empty() || stack.back().t != PVal::DICT) return -41;
+          break;
+        }
+        case 'q': {  // BINPUT
+          unsigned char k;
+          if (!take(&k, 1) || stack.empty()) return -41;
+          memo[k] = stack.back();
+          break;
+        }
+        case 'r': {  // LONG_BINPUT
+          unsigned char b[4];
+          if (!take(b, 4) || stack.empty()) return -41;
+          memo[rd32(b)] = stack.back();
+          break;
+        }
+        case 0x94: {  // MEMOIZE
+          if (stack.empty()) return -41;
+          memo[memo.size()] = stack.back();
+          break;
+        }
+        case 'h': {  // BINGET
+          unsigned char k;
+          if (!take(&k, 1)) return -41;
+          auto it = memo.find(k);
+          if (it == memo.end()) return -41;
+          stack.push_back(it->second);
+          break;
+        }
+        case 'j': {  // LONG_BINGET
+          unsigned char b[4];
+          if (!take(b, 4)) return -41;
+          auto it = memo.find(rd32(b));
+          if (it == memo.end()) return -41;
+          stack.push_back(it->second);
+          break;
+        }
+        case 'Q': {  // BINPERSID
+          PVal pid;
+          if (!pop(&pid)) return -41;
+          PVal v; v.t = PVal::PERSID;
+          if (pid.t == PVal::TUPLE) v.items = std::move(pid.items);
+          else v.items.push_back(std::move(pid));
+          stack.push_back(std::move(v));
+          break;
+        }
+        case 'R': {  // REDUCE
+          PVal args, fn;
+          if (!pop(&args) || !pop(&fn)) return -41;
+          if (fn.t != PVal::GLOBAL || args.t != PVal::TUPLE) return -41;
+          PVal v;
+          if (fn.s == "collections OrderedDict") {
+            v.t = PVal::DICT;  // backward-hooks placeholder
+          } else {
+            v.t = PVal::OBJ;
+            v.s = std::move(fn.s);
+            v.items = std::move(args.items);
+          }
+          stack.push_back(std::move(v));
+          break;
+        }
+        default:
+          return -41;  // opcode outside the torch.save(tensor) envelope
+      }
+    }
+    return -41;  // ran off the end without STOP
+  }
+};
+
+// Storage class name -> (result dtype code, element size). BFloat16Storage
+// maps to f4 with `widen=true` (numpy has no bf16; equals torch .float()).
+int storage_dtype(const std::string& cls, size_t* item, bool* widen) {
+  *widen = false;
+  if (cls == "torch FloatStorage") { *item = 4; return 0; }
+  if (cls == "torch HalfStorage") { *item = 2; return 1; }
+  if (cls == "torch DoubleStorage") { *item = 8; return 2; }
+  if (cls == "torch CharStorage") { *item = 1; return 3; }
+  if (cls == "torch ShortStorage") { *item = 2; return 4; }
+  if (cls == "torch IntStorage") { *item = 4; return 5; }
+  if (cls == "torch LongStorage") { *item = 8; return 6; }
+  if (cls == "torch ByteStorage") { *item = 1; return 7; }
+  if (cls == "torch BoolStorage") { *item = 1; return 7; }  // 0/1 bytes as u1
+  if (cls == "torch BFloat16Storage") { *item = 2; *widen = true; return 0; }
+  return -1;
+}
+
+bool pv_int(const PVal& v, int64_t* out) {
+  if (v.t != PVal::INT && v.t != PVal::BOOL) return false;
+  *out = v.i;
+  return true;
+}
+
+// Load the single tensor out of a torch .pt zip (entries already scanned).
+int load_pt(FILE* f, const std::vector<ZipEntry>& entries, Result* r) {
+  const ZipEntry* pkl = nullptr;
+  for (const auto& e : entries) {
+    if (e.name == "data.pkl" ||
+        (e.name.size() > 9 && e.name.compare(e.name.size() - 9, 9, "/data.pkl") == 0)) {
+      pkl = &e;
+      break;
+    }
+  }
+  if (!pkl) return -40;
+  std::string prefix = pkl->name.substr(0, pkl->name.size() - strlen("data.pkl"));
+
+  std::string pk(pkl->uncomp_size, '\0');
+  int rc = read_member_into(f, *pkl, pk.empty() ? (void*)&rc : (void*)&pk[0], pk.size());
+  if (rc != 0) return rc;
+
+  Unpickler u{(const unsigned char*)pk.data(), pk.size()};
+  PVal root;
+  rc = u.run(&root);
+  if (rc != 0) return rc;
+  if (root.t != PVal::OBJ || root.s != "torch._utils _rebuild_tensor_v2" || root.items.size() < 4)
+    return -42;  // not one plain tensor (dict/list/sparse/... -> Python fallback)
+
+  const PVal& pid = root.items[0];
+  if (pid.t != PVal::PERSID || pid.items.size() < 5 || pid.items[0].t != PVal::STR ||
+      pid.items[0].s != "storage" || pid.items[1].t != PVal::GLOBAL ||
+      pid.items[2].t != PVal::STR)
+    return -42;
+  size_t item = 0;
+  bool widen = false;
+  int dtype = storage_dtype(pid.items[1].s, &item, &widen);
+  if (dtype < 0) return -43;  // quantized/complex/... storage
+  int64_t storage_numel = 0;
+  if (!pv_int(pid.items[4], &storage_numel) || storage_numel < 0) return -42;
+
+  int64_t offset = 0;
+  if (!pv_int(root.items[1], &offset) || offset < 0) return -46;
+  const PVal& size = root.items[2];
+  const PVal& stride = root.items[3];
+  if (size.t != PVal::TUPLE || stride.t != PVal::TUPLE || size.items.size() != stride.items.size())
+    return -42;
+  if (size.items.size() > 8) return -47;
+
+  int ndim = (int)size.items.size();
+  int64_t shp[8] = {0}, strd[8] = {0};
+  size_t count = 1;
+  int64_t extent = 1;  // storage elements spanned: 1 + sum((size_k-1)*stride_k)
+  bool contiguous = true;
+  int64_t contig = 1;
+  for (int i = ndim - 1; i >= 0; --i) {
+    if (!pv_int(size.items[i], &shp[i]) || !pv_int(stride.items[i], &strd[i])) return -42;
+    if (shp[i] < 0 || strd[i] < 0) return -46;  // negative strides unsupported
+    if (shp[i] == 0) { count = 0; }
+    if (strd[i] != contig && shp[i] != 1) contiguous = false;
+    contig *= shp[i];
+  }
+  for (int i = 0; i < ndim; ++i) {
+    count *= (size_t)shp[i];
+    if (shp[i] > 0) extent += (shp[i] - 1) * strd[i];
+  }
+  if (count == 0) extent = 0;
+  if (offset + extent > storage_numel) return -46;
+
+  const ZipEntry* payload = nullptr;
+  std::string want = prefix + "data/" + pid.items[2].s;
+  for (const auto& e : entries)
+    if (e.name == want) { payload = &e; break; }
+  if (!payload) return -44;
+  if (payload->uncomp_size < (size_t)(storage_numel)*item) return -45;
+
+  r->ndim = ndim;
+  for (int i = 0; i < ndim; ++i) r->shape[i] = shp[i];
+  r->dtype = dtype;
+  size_t out_item = widen ? 4 : item;
+  size_t nbytes = count * out_item;
+  r->data = malloc(nbytes ? nbytes : 1);
+  if (!r->data) return -14;
+
+  if (contiguous && offset == 0 && !widen) {
+    // Stream the payload straight into the result (the common case: the
+    // reference's precomputed latents are contiguous offset-0 tensors).
+    rc = count ? read_member_into(f, *payload, r->data, nbytes) : 0;
+    if (rc != 0) { free(r->data); r->data = nullptr; }
+    return rc;
+  }
+
+  // General case: read the spanned storage slice, then gather C-order.
+  std::vector<unsigned char> raw((size_t)(offset + extent) * item);
+  rc = count ? read_member_into(f, *payload, raw.data(), raw.size()) : 0;
+  if (rc != 0) { free(r->data); r->data = nullptr; return rc; }
+  const unsigned char* base = raw.data() + (size_t)offset * item;
+  unsigned char* out = (unsigned char*)r->data;
+  int64_t idx[8] = {0};
+  for (size_t e = 0; e < count; ++e) {
+    int64_t soff = 0;
+    for (int i = 0; i < ndim; ++i) soff += idx[i] * strd[i];
+    const unsigned char* src = base + (size_t)soff * item;
+    if (widen) {  // bf16 -> f4: place the 16 payload bits in the f32 high half
+      out[0] = 0; out[1] = 0; out[2] = src[0]; out[3] = src[1];
+    } else {
+      memcpy(out, src, item);
+    }
+    out += out_item;
+    for (int i = ndim - 1; i >= 0; --i) {
+      if (++idx[i] < shp[i]) break;
+      idx[i] = 0;
+    }
+  }
   return 0;
 }
 
@@ -265,19 +711,39 @@ int load_any(const char* path, Result* r) {
   size_t got = fread(m4, 1, 4, f);
   int rc;
   if (got == 4 && memcmp(m4, "PK\x03\x04", 4) == 0) {
-    long data_off = 0;
-    size_t comp_size = 0;
-    int method = 0;
-    rc = find_zip_member(f, &data_off, &comp_size, &method);
+    std::vector<ZipEntry> entries;
+    rc = scan_zip(f, &entries);
     if (rc == 0) {
-      if (fseek(f, data_off, SEEK_SET) != 0) {
-        rc = -30;
-      } else if (method == 0) {
-        FileReader in(f, comp_size);
-        rc = load_npy_stream(in, r);
+      bool is_pt = false;
+      for (const auto& e : entries)
+        if (e.name == "data.pkl" ||
+            (e.name.size() > 9 && e.name.compare(e.name.size() - 9, 9, "/data.pkl") == 0)) {
+          is_pt = true;
+          break;
+        }
+      if (is_pt) {
+        rc = load_pt(f, entries, r);
       } else {
-        InflateReader in(f, comp_size);
-        rc = load_npy_stream(in, r);
+        // .npz: the FIRST .npy member — what np.load(...)[first key] reads.
+        const ZipEntry* npy = nullptr;
+        for (const auto& e : entries)
+          if (e.name.size() >= 4 && e.name.compare(e.name.size() - 4, 4, ".npy") == 0) {
+            npy = &e;
+            break;
+          }
+        if (!npy) {
+          rc = -34;
+        } else if (npy->method != 0 && npy->method != 8) {
+          rc = -33;
+        } else if ((rc = seek_member(f, *npy)) == 0) {
+          if (npy->method == 0) {
+            FileReader in(f, npy->comp_size);
+            rc = load_npy_stream(in, r);
+          } else {
+            InflateReader in(f, npy->comp_size);
+            rc = load_npy_stream(in, r);
+          }
+        }
       }
     }
   } else {

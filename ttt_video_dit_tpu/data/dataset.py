@@ -26,21 +26,33 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 
+_NATIVE_SUFFIXES = (".npy", ".npz", ".pt")
+
+
+def _finish(path: str, arr: np.ndarray) -> np.ndarray:
+    """Match the torch-loader contract for ``.pt`` payloads (float32 out,
+    like ``torch.load(...).to(torch.float32)``); array formats pass through
+    byte-identical to ``np.load``."""
+    return arr.astype(np.float32) if path.endswith(".pt") and arr.dtype != np.float32 else arr
+
+
 def load_tensor(path: str) -> np.ndarray:
-    if path.endswith((".npy", ".npz")):
-        # Native C++ reader when the toolchain allows (ttt_video_dit_tpu/
-        # data/_native); byte-identical to np.load (for .npz: the first
-        # member, stored or deflate), parses+reads+inflates off the GIL.
+    # Native C++ reader when the toolchain allows (ttt_video_dit_tpu/
+    # data/_native): .npy byte-identical to np.load; .npz the first member
+    # (stored or deflate); torch .pt single-tensor zips (the reference's
+    # precomputed-latent format). Parses+reads+inflates off the GIL.
+    if path.endswith(_NATIVE_SUFFIXES):
         from ttt_video_dit_tpu.data import native
 
         if native.available():
             try:
-                return native.load_npy(path)
+                return _finish(path, native.load_npy(path))
             except (IOError, RuntimeError):
-                pass  # unusual dtype/layout/zip64 -> numpy fallback
-        if path.endswith(".npz"):
-            data = np.load(path)
-            return data[list(data.keys())[0]]
+                pass  # dict .pt/unusual dtype/layout/zip64 -> Python fallback
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data[list(data.keys())[0]]
+    if path.endswith(".npy"):
         return np.load(path)
     # torch .pt — torch-cpu is a baked-in dependency used only as a file loader.
     import torch
@@ -108,7 +120,7 @@ class PreembeddingDataset:
         sequential load (reference: ttt/datasets/preembedding_dataset.py:36-41)."""
         if pool is None:
             return [self[i] for i in indices]
-        fetch = lambda p: pool.fetch(p) if p.endswith((".npy", ".npz")) else None
+        fetch = lambda p: pool.fetch(p) if p.endswith(_NATIVE_SUFFIXES) else None
         plan = []
         for i in indices:
             md = self.metadata_list[i]
@@ -118,9 +130,9 @@ class PreembeddingDataset:
         out = []
         for i, vid_p, vid_j, txt_ps, txt_js in plan:
             try:
-                posterior = pool.wait(vid_j) if vid_j is not None else load_tensor(vid_p)
+                posterior = _finish(vid_p, pool.wait(vid_j)) if vid_j is not None else load_tensor(vid_p)
                 texts = [
-                    pool.wait(j) if j is not None else load_tensor(p)
+                    _finish(p, pool.wait(j)) if j is not None else load_tensor(p)
                     for p, j in zip(txt_ps, txt_js)
                 ]
             except Exception:

@@ -104,10 +104,13 @@ def _to_array(lib, data, shape, ndim, dtype) -> np.ndarray:
 
 
 def load_npy(path: str) -> np.ndarray:
-    """Synchronous native array read: bare ``.npy``, or the first ``.npy``
+    """Synchronous native array read: bare ``.npy``; the first ``.npy``
     member of a ``.npz`` zip (stored or deflate — same member ``np.load``'s
-    first key resolves to). Raises if the native library is unavailable or
-    the file needs a Python fallback (zip64, exotic dtype, pickled object)."""
+    first key resolves to); or a torch ``.pt`` zip holding ONE plain CPU
+    tensor (torch.save's zip container: data.pkl run through a minimal
+    pickle VM + the raw storage member; bf16 widens to f4). Raises if the
+    native library is unavailable or the file needs a Python fallback
+    (zip64, exotic dtype, dict/list pickles, legacy non-zip .pt)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
