@@ -54,7 +54,8 @@ def main():
     parser.add_argument("--eval-mini-batch", type=int, default=16,
                         help="sample-mode TTT mini-batch (reference eval TOMLs use 16)")
     parser.add_argument("--splash-lean", default="auto", choices=["auto", "on", "off"],
-                        help="splash block profile under scan-layers: auto=lean iff scan-layers")
+                        help="splash block profile: auto/off=tuned blocks (default, faster "
+                        "everywhere measured); on=vmem-lean 1024 recovery profile")
     parser.add_argument("--scan-layers", action="store_true",
                         help="lax.scan over transformer layers (one-layer HLO; for deep configs)")
     parser.add_argument("--storyboards", type=int, default=1,

@@ -12,7 +12,13 @@ Exit 0 + "TPU_SMOKE_OK" on success. Intended for hardware CI; results for
 this repo are recorded in docs/performance.md.
 """
 
+import os.path as osp
 import sys
+
+# Self-contained path setup: appending (not prepending via PYTHONPATH=.)
+# keeps /root-style site hooks intact — overriding PYTHONPATH clobbers the
+# axon plugin's sitecustomize dir and kills the TPU backend registration.
+sys.path.append(osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 

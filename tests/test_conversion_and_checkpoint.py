@@ -129,6 +129,41 @@ def test_pretrained_save_load(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
 
 
+def test_pretrained_layout_adaptation(rng, tmp_path):
+    """Unrolled (layers_i) checkpoints load into scan-layers models and vice
+    versa: load_pretrained retries against the alternate layer layout and
+    converts (training/checkpoint.py:_swap_layer_layout) — the path HF-
+    converted weights take into a --model.scan_layers (42-layer) run."""
+    cfg_u = tiny_config()
+    model_u, params_u, (vid, text, bounds) = _init(cfg_u, rng)
+    cfg_s = tiny_config(scan_layers=True)
+    model_s, params_s, _ = _init(cfg_s, rng)
+    ckpt = Checkpointer(str(tmp_path / "unused"))
+    key = jax.random.PRNGKey(2)
+
+    # unrolled checkpoint -> scan-layers target
+    path_u = str(tmp_path / "ckpt_unrolled")
+    save_pretrained(path_u, params_u)
+    loaded_s = ckpt.load_pretrained(path_u, jax.eval_shape(lambda: params_s))
+    assert jax.tree.structure(loaded_s) == jax.tree.structure(params_s)
+    np.testing.assert_allclose(
+        np.asarray(model_s.apply(loaded_s, vid, text, key, bounds)),
+        np.asarray(model_u.apply(params_u, vid, text, key, bounds)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+    # scan-layers checkpoint -> unrolled target
+    path_s = str(tmp_path / "ckpt_stacked")
+    save_pretrained(path_s, params_s)
+    loaded_u = ckpt.load_pretrained(path_s, jax.eval_shape(lambda: params_u))
+    assert jax.tree.structure(loaded_u) == jax.tree.structure(params_u)
+    np.testing.assert_allclose(
+        np.asarray(model_u.apply(loaded_u, vid, text, key, bounds)),
+        np.asarray(model_s.apply(params_s, vid, text, key, bounds)),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
 def test_curriculum_stage_handoff(rng, tmp_path):
     """Stage-to-stage curriculum handoff: weights trained at the 3 s geometry
     load unchanged into a longer-context (multi-scene) model and run a train

@@ -73,6 +73,24 @@ class ModelSection:
     latent_width: Optional[int] = field(
         default=None, metadata={"help": "Override latent token-grid width (debug/smoke geometries)"}
     )
+    scan_layers: bool = field(
+        default=False,
+        metadata={
+            "help": "lax.scan over transformer layers: one-layer HLO regardless of "
+            "depth (the 42-layer configuration; params become stacked [L, ...])",
+            "action": "store_true",
+        },
+    )
+    splash_lean_blocks: str = field(
+        default="auto",
+        metadata={
+            "help": "Splash-attention block profile: 'auto'/'off' use the tuned "
+            "blocks (measured faster everywhere at the 100 MB scoped-vmem limit, "
+            "docs/performance.md); 'on' forces the vmem-lean 1024 profile (the "
+            "recovery knob for a Mosaic scoped-vmem compile error)",
+            "choices": ["auto", "on", "off"],
+        },
+    )
 
 
 @dataclass

@@ -87,12 +87,14 @@ class ModelConfig:
     # becomes {scan_layers/layer/...: [L, ...]} — use stack_layer_params() to
     # convert checkpoints; the HF converter targets the unrolled layout.
     scan_layers: bool = False
-    # Splash-attention block profile under scan-over-layers. The kernel
-    # shares the Mosaic scoped-vmem stack with the scan body's remat fusions,
-    # which historically forced a vmem-lean 1024-block profile there
+    # Splash-attention block profile. The kernel shares the Mosaic
+    # scoped-vmem stack with remat fusions, which at the old 16 MB limit
+    # forced a vmem-lean 1024-block profile under scan-over-layers
     # (ops/attention.py:_splash_spec). At the 100 MB scoped limit the tuned
-    # blocks may fit too; None = auto (lean iff scan_layers), True/False
-    # forces lean/tuned.
+    # blocks fit beside the scan loop everywhere measured and are faster
+    # (d3072x4L scan 36.06 vs 31.43 % MFU, d512x42L 25.2 vs 17.7), so the
+    # default is tuned; set True to force lean (the recovery knob for a
+    # Mosaic scoped-vmem compile error at an untried geometry).
     splash_lean_blocks: bool | None = None
     # Remat
     # Wrap each layer group in jax.checkpoint (the reference always does,
@@ -174,6 +176,8 @@ class ModelConfig:
         self.ttt_base_lr = job_config.model.ttt_base_lr
         self.use_fused_backward = job_config.model.use_fused_backward
         self.fuse_ttt_preproc = job_config.model.fuse_ttt_preproc
+        self.scan_layers = job_config.model.scan_layers
+        self.splash_lean_blocks = {"auto": None, "on": True, "off": False}[job_config.model.splash_lean_blocks]
         if job_config.model.latent_height is not None:
             self.latent_height = job_config.model.latent_height
         if job_config.model.latent_width is not None:

@@ -208,12 +208,14 @@ class SegmentLocalAttention(nn.Module):
 
         # All C windows go through ONE splash call (folded into the kernel's
         # head grid, ops/attention.py:_splash) so every curriculum stage gets
-        # the tuned block profile. Under scan-over-layers splash shares
-        # scoped vmem with the loop's remat fusions; use the vmem-lean block
-        # profile there (cfg.splash_lean_blocks overrides the heuristic).
-        lean = cfg.splash_lean_blocks
+        # the tuned block profile — including under scan-over-layers: at the
+        # 100 MB scoped-vmem limit the tuned blocks fit beside the scan
+        # loop's remat fusions and measure faster everywhere tried (d3072x4L
+        # 36.06 vs 31.43 % MFU, d512x42L 25.2 vs 17.7 % — docs/performance.md),
+        # so lean blocks are opt-in (cfg.splash_lean_blocks=True; a Mosaic
+        # scoped-vmem compile error is the loud signal to set it).
         attn = attention(q, k, v,
-                         conservative=cfg.scan_layers if lean is None else lean,
+                         conservative=bool(cfg.splash_lean_blocks),
                          windows=C,
                          param_count=cfg.approx_param_count(),
                          reserved_bytes=_policy_reserved_bytes(cfg, meta, B, S, C))  # [B*C, S, H, F]

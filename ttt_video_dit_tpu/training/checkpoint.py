@@ -14,6 +14,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from ttt_video_dit_tpu.training.train_step import TrainState
@@ -60,9 +61,78 @@ class Checkpointer:
 
     def load_pretrained(self, path: str, abstract_params):
         """Model-params-only load (stage-to-stage curriculum handoff /
-        converted pretrained weights; reference: checkpoint.py:47-59)."""
+        converted pretrained weights; reference: checkpoint.py:47-59).
+
+        If the checkpoint's transformer-layer layout differs from the target
+        model's (unrolled ``layers_i`` vs scan-stacked ``scan_layers``), the
+        restore is retried against the alternate layout and converted — so
+        HF-converted (unrolled) weights load into a ``--model.scan_layers``
+        run and scan-trained checkpoints load into unrolled eval models."""
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path), abstract_params)
+        path = os.path.abspath(path)
+        try:
+            return ckptr.restore(path, abstract_params)
+        except Exception:
+            swapped = _swap_layer_layout(abstract_params)
+            if swapped is None:
+                raise
+            alt_template, convert = swapped
+            return convert(ckptr.restore(path, alt_template))
+
+
+def _swap_layer_layout(abstract_params):
+    """Build (alt_template, convert) translating between the unrolled
+    (``layers_i``) and scan-stacked (``scan_layers/scan/layer``) DiT param
+    layouts. Returns None when the tree contains neither layout."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return None
+        if "scan_layers" in node:  # target stacked <- checkpoint unrolled
+            stacked = node["scan_layers"]["scan"]["layer"]
+            L = jax.tree.leaves(stacked)[0].shape[0]
+            per_layer = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), stacked)
+            alt = {k: v for k, v in node.items() if k != "scan_layers"}
+            alt.update({f"layers_{i}": per_layer for i in range(L)})
+
+            def convert(restored):
+                from ttt_video_dit_tpu.models.dit.dit import stack_layer_params
+
+                return stack_layer_params(restored, L)
+
+            return alt, convert
+        if "layers_0" in node:  # target unrolled <- checkpoint stacked
+            L = sum(1 for k in node if k.startswith("layers_"))
+            alt = {k: v for k, v in node.items() if not k.startswith("layers_")}
+            alt["scan_layers"] = {
+                "scan": {
+                    "layer": jax.tree.map(
+                        lambda x: jax.ShapeDtypeStruct((L, *x.shape), x.dtype), node["layers_0"]
+                    )
+                }
+            }
+
+            def convert(restored):
+                stacked = restored.pop("scan_layers")["scan"]["layer"]
+                for i in range(L):
+                    restored[f"layers_{i}"] = jax.tree.map(lambda x, _i=i: jnp.asarray(x[_i]), stacked)
+                return restored
+
+            return alt, convert
+        for key, child in node.items():
+            got = walk(child)
+            if got is not None:
+                alt_child, convert_child = got
+                alt = {k: (alt_child if k == key else v) for k, v in node.items()}
+
+                def convert(restored, _key=key, _c=convert_child):
+                    restored[_key] = _c(restored[_key])
+                    return restored
+
+                return alt, convert
+        return None
+
+    return walk(abstract_params)
 
 
 def save_pretrained(path: str, params) -> None:
