@@ -37,6 +37,12 @@ def check(name, got, want, tol):
 
 
 def main():
+    # The tuned splash blocks need the raised Mosaic scoped-vmem limit every
+    # entry point sets; must happen before first device use (utils/tpu_flags).
+    from ttt_video_dit_tpu.utils.tpu_flags import ensure_tpu_flags
+
+    ensure_tpu_flags()
+
     import jax
     import jax.numpy as jnp
 
@@ -58,21 +64,30 @@ def main():
     W1m, b1m = f(B, H, F, 4 * F) * 0.02, f(B, H, 1, 4 * F) * 0.01
     W2m, b2m = f(B, H, 4 * F, F) * 0.02, f(B, H, 1, F) * 0.01
 
-    for name, kern, oracle, args in (
-        ("ttt_linear ragged", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l)),
-        ("ttt_mlp ragged", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m)),
+    # Both sides run compiled on-chip, where every matmul executes at bf16
+    # precision (CLAUDE.md: comparisons tighter than ~1e-2 need CPU), so the
+    # grad tolerance is 2e-2; the ragged/full pairs at identical shapes
+    # discriminate a masked-edge-write bug (ragged >> full) from plain
+    # accumulation noise (ragged ~ full).
+    for name, kern, oracle, args, nc in (
+        ("ttt_linear full", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 4),
+        ("ttt_linear ragged", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 5),
+        ("ttt_mlp full", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 4),
+        ("ttt_mlp ragged", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 5),
     ):
+        q, k, v, e = XQ[:, :, :nc], XK[:, :, :nc], XV[:, :, :nc], eta[:, :, :nc]
+
         def loss_k(q, k, v):
-            return jnp.sum(kern(q, k, v, eta, lnw, lnb, *args, K) ** 2)
+            return jnp.sum(kern(q, k, v, e, lnw, lnb, *args, K) ** 2)
 
         def loss_o(q, k, v):
-            return jnp.sum(oracle(q, k, v, eta, lnw, lnb, *args, K) ** 2)
+            return jnp.sum(oracle(q, k, v, e, lnw, lnb, *args, K) ** 2)
 
-        got = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2)))(XQ, XK, XV)
-        want = jax.jit(jax.value_and_grad(loss_o, argnums=(0, 1, 2)))(XQ, XK, XV)
+        got = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2)))(q, k, v)
+        want = jax.jit(jax.value_and_grad(loss_o, argnums=(0, 1, 2)))(q, k, v)
         ok &= check(f"{name} fwd", got[0], want[0], 2e-4)
         for g, w, nm in zip(got[1], want[1], ("dq", "dk", "dv")):
-            ok &= check(f"{name} {nm}", g, w, 5e-3)
+            ok &= check(f"{name} {nm}", g, w, 2e-2)
 
     # Folded-window splash vs per-window naive attention (bf16 on chip).
     from ttt_video_dit_tpu.ops.attention import _splash_padded

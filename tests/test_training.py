@@ -178,6 +178,38 @@ def test_sharded_train_step_on_mesh(rng):
         assert len(w1.sharding.device_set) > 1
 
 
+def test_sharded_train_step_scan_layers(rng):
+    """SPMD smoke with scan-over-layers: stacked [L, ...] params keep their
+    head/fsdp shardings (parallel/sharding.py stacked-layer rule) and a full
+    sharded train step runs — the configuration that scales to 42 layers."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, model = _build(adapter="sft", num_heads=4, scan_layers=True)
+    mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
+    B = 4
+    vid = jnp.asarray(rng.standard_normal((B, 13, 16, 16, 16)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((B, 1, 8, cfg.text_dim)), jnp.float32)
+    batch = dict(vid=vid, text=text, sigma_lo=jnp.zeros((B,), jnp.int32), sigma_hi=jnp.full((B,), 1000, jnp.int32))
+
+    with use_mesh(mesh):
+        params = init_params(model, cfg, mesh, jax.random.PRNGKey(0), text_length=8)
+        tx, _, _ = opt_mod.build_optimizer(
+            opt_mod.partition_params(params, "sft")[0], lr=1e-3, lr_ssm=1e-3, lr_end=0.0,
+            warmup_steps=1, total_steps=10,
+        )
+        state = create_train_state(params, tx, "sft")
+        step_fn = jax.jit(make_train_step(model, tx, 1, 0.0), donate_argnums=0)
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1
+
+        # Stacked TTT fast-weight param: leading layer dim replicated, head
+        # dim still tensor-sharded across devices.
+        w1 = params["params"]["dit"]["scan_layers"]["scan"]["layer"]["seq_modeling_block"]["ssm"]["W1"]
+        assert w1.ndim == 4 and w1.shape[0] == cfg.num_layers
+        assert len(w1.sharding.device_set) > 1
+
+
 def test_stats_snapshot_roundtrip(tmp_path):
     """Per-checkpoint stats snapshot + resume restore
     (reference: ttt/infra/logging.py:126-147 save_multi/load_multi)."""
