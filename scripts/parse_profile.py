@@ -26,10 +26,14 @@ def _category(name: str) -> str:
         return "splash attention"
     if "ttt" in n or re.search(r"custom-call", n):
         return "ttt pallas"
-    if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
-        return "fusion (elementwise/reduce soup)"
     if "convolution" in n or n.startswith(("dot", "gemm")) or "matmul" in n:
         return "dense matmul/conv"
+    if "fusion" in n:
+        # Includes bitcast_add_fusion/pad_bitcast_fusion/...: despite the
+        # layout-op prefix these are fused *compute* (e.g. bitcast_add_fusion
+        # at d3072 is the MLP layer2 matmul with its residual add, ~86 % of
+        # peak) — only standalone layout ops count as formatting.
+        return "fusion (matmuls + elementwise/reduce soup)"
     if n.startswith(("copy", "transpose", "bitcast", "reshape", "convert", "pad", "slice", "concatenate", "dynamic")):
         return "formatting (copies/converts/pads)"
     if n.startswith(("reduce", "all-reduce", "reduce-scatter", "all-gather")):
