@@ -229,12 +229,17 @@ def bench_sampling(args):
     denoise_fn = S.make_cfg_denoise_fn(model, params, boards[0], jnp.zeros_like(boards[0]))
     latents = smp(jax.random.PRNGKey(0), denoise_fn, shape)  # compile + warmup
     float(jnp.sum(latents.astype(jnp.float32)))  # fence (see train-mode NOTE)
+    if args.profile_dir:
+        # Normalize the parse with --steps (storyboards * (steps+1) evals).
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     for i, pos in enumerate(boards):
         denoise_fn = S.make_cfg_denoise_fn(model, params, pos, jnp.zeros_like(pos))
         latents = smp(jax.random.PRNGKey(1 + i), denoise_fn, shape)
         float(jnp.sum(latents.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / len(boards)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
 
     # The jitted denoiser body must have traced exactly once across all
     # storyboards (conditioning is an argument, never a closure constant).

@@ -1,0 +1,62 @@
+"""Config-system regression sweep: every shipped TOML (all ported reference
+configs + the debug pair) must parse through JobConfig with the correct
+precedence, resolve to a ModelConfig preset, and honor cmdline overrides
+(reference: ttt/infra/config_manager.py:232-252,358-402)."""
+
+import glob
+import os.path as osp
+
+import pytest
+
+from ttt_video_dit_tpu.config.job_config import JobConfig
+from ttt_video_dit_tpu.config.model_config import ModelConfig
+
+CONFIG_ROOT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "configs")
+TRAIN_TOMLS = sorted(glob.glob(osp.join(CONFIG_ROOT, "train", "**", "*.toml"), recursive=True))
+EVAL_TOMLS = sorted(glob.glob(osp.join(CONFIG_ROOT, "eval", "**", "*.toml"), recursive=True))
+
+
+def test_all_tomls_present():
+    """The reference ships 5 durations x {train,eval} x {ttt-mlp,ttt-linear}
+    plus our debug pair (reference: configs/)."""
+    assert len(TRAIN_TOMLS) == 11, TRAIN_TOMLS
+    assert len(EVAL_TOMLS) == 11, EVAL_TOMLS
+
+
+@pytest.mark.parametrize("toml", TRAIN_TOMLS, ids=lambda p: osp.relpath(p, CONFIG_ROOT))
+def test_train_toml_parses_and_resolves(toml):
+    jc = JobConfig().parse_args(["--job.config_file", toml])
+    mc = ModelConfig.get_preset(jc.model.size, jc.model.video_length, jc)
+    assert mc.model_dim > 0 and mc.num_layers > 0
+    # The TTT knobs the curriculum varies must round-trip from the TOML.
+    assert mc.mini_batch_size == jc.model.mini_batch_size
+    assert mc.ssm_layer == jc.model.ssm_layer
+    assert mc.scan_checkpoint_group_size == int(jc.remat.scan_checkpoint_group_size)
+
+
+@pytest.mark.parametrize("toml", EVAL_TOMLS, ids=lambda p: osp.relpath(p, CONFIG_ROOT))
+def test_eval_toml_parses_and_resolves(toml):
+    jc = JobConfig(eval_mode=True).parse_args(["--job.config_file", toml])
+    mc = ModelConfig.get_preset(jc.model.size, jc.model.video_length, jc)
+    assert mc.model_dim > 0
+    # Eval-only sections exist only in eval mode.
+    assert hasattr(jc, "eval")
+
+
+def test_cmdline_overrides_toml():
+    """Precedence cmdline > TOML > defaults (reference: config_manager.py:358-402)."""
+    toml = osp.join(CONFIG_ROOT, "train", "ttt-mlp", "3s.toml")
+    base = JobConfig().parse_args(["--job.config_file", toml])
+    over = JobConfig().parse_args(
+        ["--job.config_file", toml, "--model.mini_batch_size", "32", "--model.scan_layers"]
+    )
+    assert base.model.mini_batch_size != 32
+    assert over.model.mini_batch_size == 32
+    assert over.model.scan_layers and not base.model.scan_layers
+
+
+def test_unknown_key_rejected(tmp_path):
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[model]\nnot_a_real_field = 3\n")
+    with pytest.raises(TypeError, match="Invalid field"):
+        JobConfig().parse_args(["--job.config_file", str(bad)])
