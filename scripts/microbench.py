@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os.path as osp
+import sys
 import time
+
+# Self-contained path setup (append, never PYTHONPATH=. — that clobbers the
+# axon plugin's site dir; see CLAUDE.md).
+sys.path.append(osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def fence(x):
@@ -183,9 +189,82 @@ def bench_ttt(iters, heads: int = 16):
             print(f"ttt-mlp bwd  G={G:2d}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
+def bench_loader(n_samples: int = 32, scenes: int = 2):
+    """Host-side data-loader throughput: sequential Python (np.load /
+    torch.load) vs the native C++ prefetch pool, on production-shaped files
+    (3 s posterior [14, 32, 60, 90] f32 ≈ 12 MB + per-scene text [226, 4096]).
+    The pool overlaps IO + header parse + (for .pt) pickle decode off the GIL
+    across the whole batch."""
+    import shutil
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from ttt_video_dit_tpu.data import native
+    from ttt_video_dit_tpu.data.dataset import load_tensor
+
+    if not native.available():
+        print("loader: native toolchain unavailable, skipping")
+        return
+
+    td = tempfile.mkdtemp(prefix="loaderbench_")
+    rng = np.random.default_rng(0)
+    try:
+        import torch
+
+        paths = {"npy": [], "pt": []}
+        for i in range(n_samples):
+            vid = rng.standard_normal((14, 32, 60, 90)).astype(np.float32)
+            txts = [rng.standard_normal((226, 4096)).astype(np.float32) for _ in range(scenes)]
+            group = []
+            for j, a in enumerate([vid, *txts]):
+                np.save(f"{td}/s{i}_{j}.npy", a)
+                torch.save(torch.from_numpy(a), f"{td}/s{i}_{j}.pt")
+                group.append(f"{td}/s{i}_{j}")
+            paths["npy"].append([g + ".npy" for g in group])
+            paths["pt"].append([g + ".pt" for g in group])
+
+        total_mb = n_samples * (vid.nbytes + scenes * txts[0].nbytes) / 2**20
+        batch = 8  # in-flight bound, like DataModule's per-batch submit
+        for fmt, groups in paths.items():
+            # Both paths mimic load_batch faithfully: a batch of samples is
+            # loaded and HELD (then stacked/dropped together). Holding is
+            # load-bearing for the measurement — every live multi-MB buffer
+            # is fresh mmap'd pages, and a drop-each loop recycles one hot
+            # arena and looks several times faster than the pipeline ever is.
+            t0 = time.perf_counter()
+            for s0 in range(0, len(groups), batch):
+                held = [
+                    load_tensor(p) if fmt == "pt" else np.load(p)
+                    for g in groups[s0 : s0 + batch]
+                    for p in g
+                ]
+                del held
+            seq = time.perf_counter() - t0
+
+            pool = native.PrefetchPool(num_threads=8)
+            try:
+                t0 = time.perf_counter()
+                for s0 in range(0, len(groups), batch):
+                    jobs = [pool.fetch(p) for g in groups[s0 : s0 + batch] for p in g]
+                    held = [pool.wait(j) for j in jobs]
+                    del held
+                par = time.perf_counter() - t0
+            finally:
+                pool.close()
+            print(
+                f"loader {fmt}: {total_mb:.0f} MB, sequential batched {total_mb/seq:.0f} MB/s, "
+                f"native pool(8, batch {batch}) {total_mb/par:.0f} MB/s ({seq/par:.1f}x)",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "all"])
+    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "loader", "all"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--heads", type=int, default=16)
     args = p.parse_args()
@@ -202,6 +281,8 @@ def main():
         bench_ttt(args.iters, heads=args.heads)
     if args.which == "ksweep":
         bench_ttt_k_sweep(args.iters, heads=args.heads)
+    if args.which == "loader":
+        bench_loader()
 
 
 if __name__ == "__main__":

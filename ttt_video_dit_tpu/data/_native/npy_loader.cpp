@@ -26,6 +26,7 @@
 // else (dicts, sparse/quantized tensors, legacy non-zip .pt) returns an
 // error and the Python caller falls back to torch.load.
 
+#include <malloc.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -810,7 +811,16 @@ struct Pool {
 
 extern "C" {
 
-void* nl_pool_create(int num_threads) { return new Pool(num_threads > 0 ? num_threads : 2); }
+void* nl_pool_create(int num_threads) {
+  // Keep multi-MB payload buffers on malloc arenas instead of fresh mmaps:
+  // buffers are allocated by worker threads and freed from the consumer
+  // (numpy finalizer), which defeats glibc's dynamic mmap-threshold
+  // recycling — every batch then pays a first-touch page-fault storm and
+  // the pooled path measured 0.5x of sequential np.load on page-cached
+  // files (scripts/microbench.py --which loader).
+  mallopt(M_MMAP_THRESHOLD, 24 << 20);  // glibc caps the threshold at 32 MB; >max fails silently
+  return new Pool(num_threads > 0 ? num_threads : 2);
+}
 
 void nl_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 

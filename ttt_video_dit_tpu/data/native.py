@@ -94,13 +94,19 @@ def available() -> bool:
 
 
 def _to_array(lib, data, shape, ndim, dtype) -> np.ndarray:
+    """Zero-copy wrap of the loader's malloc'd payload: the ndarray views the
+    C buffer directly and a finalizer on the buffer object frees it when the
+    last view dies (an extra full memcpy here made the pooled path *slower*
+    than np.load on page-cached files — scripts/microbench.py --which loader)."""
+    import weakref
+
     dt = _DTYPES[dtype.value]
     shp = tuple(shape[i] for i in range(ndim.value))
     n = int(np.prod(shp)) if shp else 1
-    buf = ctypes.cast(data, ctypes.POINTER(ctypes.c_char * (n * np.dtype(dt).itemsize)))
-    arr = np.frombuffer(buf.contents, dtype=dt, count=n).reshape(shp).copy()
-    lib.nl_free(data)
-    return arr
+    nbytes = max(n * np.dtype(dt).itemsize, 1)
+    buf = (ctypes.c_char * nbytes).from_address(data if isinstance(data, int) else data.value)
+    weakref.finalize(buf, lib.nl_free, ctypes.c_void_p(data if isinstance(data, int) else data.value))
+    return np.frombuffer(buf, dtype=dt, count=n).reshape(shp)
 
 
 def load_npy(path: str) -> np.ndarray:
