@@ -2,9 +2,13 @@
 
 Sampling's final stage decodes [16, T_lat, 60, 90] scaled latents to
 480x720 RGB in 2-latent-frame windows with conv-cache carry between windows
-(reference: ttt/models/vae/autoencoder.py:175-197). Encode at 49x480x720
-does NOT fit one v5e (docs/performance.md "VAE memory budget"); decode does
-— this script measures it. Random-init decoder weights: throughput only.
+(reference: ttt/models/vae/autoencoder.py:175-197). NEITHER half fits one
+v5e at 480x720 in fp32 (decode's first window alone compiles to 31.3 GB of
+HBM temps — measured; docs/performance.md "VAE memory budget" has the
+encode side) — use SPMD spatial sharding (VideoAutoencoder(mesh=...)) for
+full resolution. This script measures single-chip decode throughput at a
+fitting geometry (default 240x360 output). Random-init weights: throughput
+only.
 
 Usage: python scripts/bench_vae.py [--frames 13] [--iters 3]
 Prints one JSON line: seconds per 3-second video and decoded frames/s.
@@ -24,8 +28,8 @@ sys.path.append(osp.dirname(osp.dirname(osp.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=13, help="latent frames (13 = 3-second video)")
-    p.add_argument("--height", type=int, default=60)
-    p.add_argument("--width", type=int, default=90)
+    p.add_argument("--height", type=int, default=30)
+    p.add_argument("--width", type=int, default=45)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
