@@ -336,3 +336,84 @@ def test_datamodule_batches_use_pool(tmp_path):
     for a, b in zip(with_pool, without):
         np.testing.assert_array_equal(a["vid"], b["vid"])
         np.testing.assert_array_equal(a["text"], b["text"])
+
+def test_pt_dict_matches_torch(tmp_path):
+    """State-dict .pt checkpoints (the reference's VAE checkpoint format,
+    reference: ttt/models/vae/model.py torch.load) read natively: nested
+    dicts flatten with dotted names, non-tensor values drop, every tensor is
+    bit-identical to torch.load, bf16 widens like .float()."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    m = nn.Sequential(nn.Conv3d(2, 3, (1, 3, 3)), nn.GroupNorm(1, 3), nn.Linear(4, 5))
+    sd = m.state_dict()  # OrderedDict with a _metadata attribute -> BUILD op
+    sd["halfw"] = torch.randn(3, 4).to(torch.bfloat16)
+    p = str(tmp_path / "ckpt.pt")
+    torch.save({"state_dict": sd, "global_step": 1234, "note": "hello"}, p)
+
+    got = native.load_pt_dict(p)
+    want = torch.load(p, map_location="cpu", weights_only=False)["state_dict"]
+    assert set(got) == {f"state_dict.{k}" for k in want}
+    for k, t in want.items():
+        ref = t.to(torch.float32).numpy() if t.dtype == torch.bfloat16 else t.numpy()
+        np.testing.assert_array_equal(got[f"state_dict.{k}"], ref, err_msg=k)
+
+
+def test_pt_dict_flat_and_views(tmp_path):
+    """A flat (no wrapper) dict with shared-storage views: each entry
+    materializes independently to C-order."""
+    torch = pytest.importorskip("torch")
+    base = torch.randn(6, 8)
+    p = str(tmp_path / "flat.pt")
+    torch.save({"base": base, "t": base.t(), "slice": base[1:5, 2:7]}, p)
+    got = native.load_pt_dict(p)
+    np.testing.assert_array_equal(got["base"], base.numpy())
+    np.testing.assert_array_equal(got["t"], base.t().numpy())
+    np.testing.assert_array_equal(got["slice"], base[1:5, 2:7].numpy())
+
+
+def test_pt_dict_rejects_single_tensor(tmp_path):
+    """A single-tensor .pt is not a dict checkpoint: open fails (IOError)
+    and the caller falls back to torch.load."""
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "single.pt")
+    torch.save(torch.randn(3), p)
+    with pytest.raises(IOError):
+        native.load_pt_dict(p)
+
+
+def test_vae_checkpoint_native_equals_torch_path(tmp_path):
+    """load_torch_vae_checkpoint yields the identical param trees whether the
+    state dict came through the native reader or torch.load."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from ttt_video_dit_tpu.models.vae import autoencoder as ae
+
+    sd = {
+        "encoder.conv_in.conv.weight": torch.randn(4, 3, 3, 3, 3),
+        "encoder.conv_in.conv.bias": torch.randn(4),
+        "decoder.up.0.block.1.conv1.conv.weight": torch.randn(4, 4, 3, 3, 3),
+        "decoder.up.0.block.1.norm1.weight": torch.randn(4),
+        "loss.disc.weight": torch.randn(2, 2),  # ignored prefix
+    }
+    p = str(tmp_path / "vae.pt")
+    torch.save({"state_dict": sd}, p)
+
+    enc_n, dec_n = ae.load_torch_vae_checkpoint(p)
+
+    import ttt_video_dit_tpu.data.native as native_mod
+
+    orig = native_mod.available
+    native_mod.available = lambda: False
+    try:
+        enc_t, dec_t = ae.load_torch_vae_checkpoint(p)
+    finally:
+        native_mod.available = orig
+
+    for a, b in ((enc_n, enc_t), (dec_n, dec_t)):
+        la, lb = jax.tree_util.tree_leaves_with_path(a), jax.tree_util.tree_leaves_with_path(b)
+        assert [k for k, _ in la] == [k for k, _ in lb] and la
+        for (ka, va), (_, vb) in zip(la, lb):
+            np.testing.assert_array_equal(va, vb, err_msg=str(ka))
+            assert va.dtype == np.float32

@@ -23,8 +23,14 @@
 // `*/data/<key>` member supplies the payload. Arbitrary strides and storage
 // offsets are gathered into a C-order result; BFloat16Storage widens to f4
 // (numpy has no bf16 — torch.load().float() agrees bit-exactly). Anything
-// else (dicts, sparse/quantized tensors, legacy non-zip .pt) returns an
+// else (sparse/quantized tensors, legacy non-zip .pt) returns an
 // error and the Python caller falls back to torch.load.
+//
+// Dict-of-tensor .pt files (the reference's VAE checkpoint format:
+// torch.save({'state_dict': OrderedDict(name -> tensor)})) are served via
+// the nl_pt_dict_* handle API: the pickle VM retains dict contents, nested
+// dicts flatten with dotted prefixes, and each named tensor materializes
+// lazily from its storage member on nl_pt_dict_get.
 
 #include <malloc.h>
 #include <zlib.h>
@@ -495,14 +501,25 @@ struct Unpickler {
           for (auto& x : xs) stack.back().items.push_back(std::move(x));
           break;
         }
-        case 's': {  // SETITEM — dict contents unused; drop key/value
+        case 's': {  // SETITEM — retain: DICT items hold [k0,v0,k1,v1,...]
           PVal v, k;
           if (!pop(&v) || !pop(&k) || stack.empty() || stack.back().t != PVal::DICT) return -41;
+          stack.back().items.push_back(std::move(k));
+          stack.back().items.push_back(std::move(v));
           break;
         }
         case 'u': {  // SETITEMS
           std::vector<PVal> kv;
           if (!pop_mark(&kv) || stack.empty() || stack.back().t != PVal::DICT) return -41;
+          if (kv.size() % 2 != 0) return -41;
+          for (auto& x : kv) stack.back().items.push_back(std::move(x));
+          break;
+        }
+        case 'b': {  // BUILD: drop the state (OrderedDict's {'_metadata': ...}
+          // instance dict — key maps and tensor payloads never live there).
+          PVal state;
+          if (!pop(&state) || stack.empty()) return -41;
+          if (stack.back().t != PVal::DICT && stack.back().t != PVal::OBJ) return -41;
           break;
         }
         case 'q': {  // BINPUT
@@ -593,29 +610,12 @@ bool pv_int(const PVal& v, int64_t* out) {
   return true;
 }
 
-// Load the single tensor out of a torch .pt zip (entries already scanned).
-int load_pt(FILE* f, const std::vector<ZipEntry>& entries, Result* r) {
-  const ZipEntry* pkl = nullptr;
-  for (const auto& e : entries) {
-    if (e.name == "data.pkl" ||
-        (e.name.size() > 9 && e.name.compare(e.name.size() - 9, 9, "/data.pkl") == 0)) {
-      pkl = &e;
-      break;
-    }
-  }
-  if (!pkl) return -40;
-  std::string prefix = pkl->name.substr(0, pkl->name.size() - strlen("data.pkl"));
-
-  std::string pk(pkl->uncomp_size, '\0');
-  int rc = read_member_into(f, *pkl, pk.empty() ? (void*)&rc : (void*)&pk[0], pk.size());
-  if (rc != 0) return rc;
-
-  Unpickler u{(const unsigned char*)pk.data(), pk.size()};
-  PVal root;
-  rc = u.run(&root);
-  if (rc != 0) return rc;
+// Materialize one unpickled _rebuild_tensor_v2 OBJ into a C-order Result,
+// reading its storage payload from the zip.
+int materialize_tensor(FILE* f, const std::vector<ZipEntry>& entries, const std::string& prefix,
+                       const PVal& root, Result* r) {
   if (root.t != PVal::OBJ || root.s != "torch._utils _rebuild_tensor_v2" || root.items.size() < 4)
-    return -42;  // not one plain tensor (dict/list/sparse/... -> Python fallback)
+    return -42;  // not a plain tensor (sparse/quantized/... -> Python fallback)
 
   const PVal& pid = root.items[0];
   if (pid.t != PVal::PERSID || pid.items.size() < 5 || pid.items[0].t != PVal::STR ||
@@ -671,6 +671,7 @@ int load_pt(FILE* f, const std::vector<ZipEntry>& entries, Result* r) {
   size_t nbytes = count * out_item;
   r->data = malloc(nbytes ? nbytes : 1);
   if (!r->data) return -14;
+  int rc;
 
   if (contiguous && offset == 0 && !widen) {
     // Stream the payload straight into the result (the common case: the
@@ -705,6 +706,103 @@ int load_pt(FILE* f, const std::vector<ZipEntry>& entries, Result* r) {
   return 0;
 }
 
+// Locate `*/data.pkl` among the zip entries; returns nullptr if absent.
+const ZipEntry* find_data_pkl(const std::vector<ZipEntry>& entries) {
+  for (const auto& e : entries)
+    if (e.name == "data.pkl" ||
+        (e.name.size() > 9 && e.name.compare(e.name.size() - 9, 9, "/data.pkl") == 0))
+      return &e;
+  return nullptr;
+}
+
+// Read + unpickle `*/data.pkl`; on success sets *prefix to the archive's
+// member prefix (e.g. "sd_test/") and leaves the root object in *root.
+int unpickle_data_pkl(FILE* f, const std::vector<ZipEntry>& entries, std::string* prefix,
+                      PVal* root) {
+  const ZipEntry* pkl = find_data_pkl(entries);
+  if (!pkl) return -40;
+  *prefix = pkl->name.substr(0, pkl->name.size() - strlen("data.pkl"));
+  std::string pk(pkl->uncomp_size, '\0');
+  int rc = read_member_into(f, *pkl, pk.empty() ? (void*)&rc : (void*)&pk[0], pk.size());
+  if (rc != 0) return rc;
+  Unpickler u{(const unsigned char*)pk.data(), pk.size()};
+  return u.run(root);
+}
+
+// Load the single tensor out of a torch .pt zip (entries already scanned).
+int load_pt(FILE* f, const std::vector<ZipEntry>& entries, Result* r) {
+  std::string prefix;
+  PVal root;
+  int rc = unpickle_data_pkl(f, entries, &prefix, &root);
+  if (rc != 0) return rc;
+  return materialize_tensor(f, entries, prefix, root, r);
+}
+
+// --------------------------------------------------------------------------
+// Dict-of-tensor .pt (VAE/state-dict checkpoints): a handle over the parsed
+// pickle that materializes named tensors lazily. Single-threaded use only
+// (the gets share the handle's FILE*).
+// --------------------------------------------------------------------------
+
+struct PtDict {
+  FILE* f = nullptr;
+  std::vector<ZipEntry> entries;
+  std::string prefix;
+  std::vector<std::pair<std::string, PVal>> tensors;  // flattened dotted names
+  ~PtDict() {
+    if (f) fclose(f);
+  }
+};
+
+// Flatten nested dicts with dotted prefixes; keep only plain-tensor leaves.
+// (State-dict keys already contain dots — the dotted join matches how the
+// Python side strips the optional leading "state_dict." wrapper.)
+int flatten_dict(const PVal& d, const std::string& at, int depth,
+                 std::vector<std::pair<std::string, PVal>>* out) {
+  if (depth > 8) return -48;
+  for (size_t i = 0; i + 1 < d.items.size(); i += 2) {
+    const PVal& k = d.items[i];
+    const PVal& v = d.items[i + 1];
+    std::string name;
+    if (k.t == PVal::STR) name = k.s;
+    else if (k.t == PVal::INT) name = std::to_string(k.i);
+    else continue;  // exotic key: skip the entry (fail-soft like torch iteration)
+    std::string full = at.empty() ? name : at + "." + name;
+    if (v.t == PVal::DICT) {
+      int rc = flatten_dict(v, full, depth + 1, out);
+      if (rc != 0) return rc;
+    } else if (v.t == PVal::OBJ && v.s == "torch._utils _rebuild_tensor_v2") {
+      out->emplace_back(std::move(full), v);
+    }  // non-tensor leaves (ints, strings, hyperparams) are skipped
+  }
+  return 0;
+}
+
+int pt_dict_open(const char* path, PtDict** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -10;
+  unsigned char m4[4];
+  if (fread(m4, 1, 4, f) != 4 || memcmp(m4, "PK\x03\x04", 4) != 0) {
+    fclose(f);
+    return -40;  // legacy non-zip .pt
+  }
+  auto h = new PtDict();
+  h->f = f;
+  int rc = scan_zip(f, &h->entries);
+  PVal root;
+  if (rc == 0) rc = unpickle_data_pkl(f, h->entries, &h->prefix, &root);
+  if (rc == 0) {
+    if (root.t != PVal::DICT) rc = -42;  // not a dict checkpoint
+    else rc = flatten_dict(root, "", 0, &h->tensors);
+  }
+  if (rc != 0) {
+    delete h;
+    return rc;
+  }
+  *out = h;
+  return 0;
+}
+
 int load_any(const char* path, Result* r) {
   FILE* f = fopen(path, "rb");
   if (!f) return -10;
@@ -715,14 +813,7 @@ int load_any(const char* path, Result* r) {
     std::vector<ZipEntry> entries;
     rc = scan_zip(f, &entries);
     if (rc == 0) {
-      bool is_pt = false;
-      for (const auto& e : entries)
-        if (e.name == "data.pkl" ||
-            (e.name.size() > 9 && e.name.compare(e.name.size() - 9, 9, "/data.pkl") == 0)) {
-          is_pt = true;
-          break;
-        }
-      if (is_pt) {
+      if (find_data_pkl(entries)) {
         rc = load_pt(f, entries, r);
       } else {
         // .npz: the FIRST .npy member — what np.load(...)[first key] reads.
@@ -870,5 +961,45 @@ int nl_load(const char* path, void** data, int64_t* shape, int32_t* ndim, int32_
   *dtype = r.dtype;
   return 0;
 }
+
+// Open a dict-of-tensor .pt checkpoint. Returns a handle (close with
+// nl_pt_dict_close) and writes the flattened tensor count, or NULL with a
+// negative *err (caller falls back to torch.load). Handles are NOT
+// thread-safe: gets share the handle's file stream.
+void* nl_pt_dict_open(const char* path, int32_t* count, int32_t* err) {
+  PtDict* h = nullptr;
+  int rc = pt_dict_open(path, &h);
+  if (rc != 0) {
+    if (err) *err = rc;
+    return nullptr;
+  }
+  if (count) *count = (int32_t)h->tensors.size();
+  if (err) *err = 0;
+  return h;
+}
+
+// Dotted name of tensor i (valid until nl_pt_dict_close); NULL if out of range.
+const char* nl_pt_dict_name(void* handle, int32_t i) {
+  PtDict* h = static_cast<PtDict*>(handle);
+  if (!h || i < 0 || (size_t)i >= h->tensors.size()) return nullptr;
+  return h->tensors[i].first.c_str();
+}
+
+// Materialize tensor i into a fresh malloc'd buffer (release with nl_free).
+int nl_pt_dict_get(void* handle, int32_t i, void** data, int64_t* shape, int32_t* ndim,
+                   int32_t* dtype) {
+  PtDict* h = static_cast<PtDict*>(handle);
+  if (!h || i < 0 || (size_t)i >= h->tensors.size()) return -49;
+  Result r;
+  int rc = materialize_tensor(h->f, h->entries, h->prefix, h->tensors[i].second, &r);
+  if (rc != 0) return rc;
+  *data = r.data;
+  for (int k = 0; k < r.ndim; ++k) shape[k] = r.shape[k];
+  *ndim = r.ndim;
+  *dtype = r.dtype;
+  return 0;
+}
+
+void nl_pt_dict_close(void* handle) { delete static_cast<PtDict*>(handle); }
 
 }  // extern "C"

@@ -85,6 +85,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.nl_load.argtypes = [ctypes.c_char_p] + wait_args[1:]
         lib.nl_load.restype = ctypes.c_int
         lib.nl_free.argtypes = [ctypes.c_void_p]
+        lib.nl_pt_dict_open.restype = ctypes.c_void_p
+        lib.nl_pt_dict_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nl_pt_dict_name.restype = ctypes.c_char_p
+        lib.nl_pt_dict_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.nl_pt_dict_get.argtypes = [ctypes.c_void_p, ctypes.c_int32] + wait_args[1:]
+        lib.nl_pt_dict_get.restype = ctypes.c_int
+        lib.nl_pt_dict_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -127,6 +138,41 @@ def load_npy(path: str) -> np.ndarray:
     if rc != 0:
         raise IOError(f"native npy load failed ({rc}): {path}")
     return _to_array(lib, data, shape, ndim, dtype)
+
+
+def load_pt_dict(path: str) -> dict:
+    """Native read of a dict-of-tensor torch ``.pt`` checkpoint (the
+    reference VAE checkpoint format, reference:
+    ttt/models/vae/model.py torch.load of a ``state_dict`` mapping).
+
+    Returns ``{dotted_name: np.ndarray}`` with nested dicts flattened by
+    ``.``-joining (a root ``{"state_dict": {...}}`` wrapper yields
+    ``state_dict.<key>`` names); non-tensor values (step counters, strings,
+    ``_metadata``) are dropped. bf16 tensors widen to f32 (numpy has no
+    bf16 — bit-exact with ``torch.load().float()``). Raises ``IOError`` when
+    the file needs the torch.load fallback (zip64, legacy non-zip .pt,
+    exotic storages)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    count, err = ctypes.c_int32(), ctypes.c_int32()
+    h = lib.nl_pt_dict_open(path.encode(), ctypes.byref(count), ctypes.byref(err))
+    if not h:
+        raise IOError(f"native .pt dict open failed ({err.value}): {path}")
+    out = {}
+    try:
+        for i in range(count.value):
+            name = lib.nl_pt_dict_name(h, i)
+            data = ctypes.c_void_p()
+            shape = (ctypes.c_int64 * 8)()
+            ndim, dtype = ctypes.c_int32(), ctypes.c_int32()
+            rc = lib.nl_pt_dict_get(h, i, ctypes.byref(data), shape, ctypes.byref(ndim), ctypes.byref(dtype))
+            if rc != 0:
+                raise IOError(f"native .pt dict tensor {name!r} failed ({rc}): {path}")
+            out[name.decode()] = _to_array(lib, data, shape, ndim, dtype)
+    finally:
+        lib.nl_pt_dict_close(h)
+    return out
 
 
 class PrefetchPool:

@@ -218,14 +218,36 @@ def _map_torch_key(key: str) -> tuple:
     return tuple(out)
 
 
-def load_torch_vae_checkpoint(path: str):
-    """Load the reference VAE torch checkpoint (``state_dict`` with
-    ``encoder.*`` / ``decoder.*`` keys) into flax param trees."""
+def _read_torch_state_dict(path: str) -> dict:
+    """``{name: np.float32 array}`` from a torch checkpoint: the native C++
+    .pt reader when it can parse the file (no torch import, tensors stream
+    straight into numpy buffers), else torch.load."""
+    try:
+        from ttt_video_dit_tpu.data import native
+
+        if native.available():
+            flat = native.load_pt_dict(path)
+            sd = {}
+            for key, value in flat.items():
+                if key.startswith("state_dict."):
+                    key = key[len("state_dict."):]
+                sd[key] = np.asarray(value, dtype=np.float32)
+            if sd:
+                return sd
+    except Exception:
+        pass  # zip64 / legacy .pt / exotic storages -> torch fallback
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
+    return {k: v.to(torch.float32).numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def load_torch_vae_checkpoint(path: str):
+    """Load the reference VAE torch checkpoint (``state_dict`` with
+    ``encoder.*`` / ``decoder.*`` keys) into flax param trees."""
+    sd = _read_torch_state_dict(path)
 
     enc: dict = {}
     dec: dict = {}
@@ -236,7 +258,7 @@ def load_torch_vae_checkpoint(path: str):
             tree, sub = dec, key[len("decoder."):]
         else:
             continue
-        value = tensor.to(torch.float32).numpy()
+        value = tensor
         leaf, value = _convert_tensor(sub, value)
         # GroupNorms nest under a 'norm' module in our CausalConv-free blocks.
         path_parts = list(_map_torch_key(sub[: sub.rfind(".")]))
