@@ -49,6 +49,9 @@ def main():
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the timed steps into this dir")
+    parser.add_argument("--dump-hlo", default=None,
+                        help="write the compiled train step's optimized HLO text here "
+                        "(maps profile op names to instructions; compile-cache-neutral)")
     parser.add_argument("--mode", default="train", choices=["train", "sample"],
                         help="train-step MFU (default, driver contract) or DPM++ denoise throughput")
     parser.add_argument("--eval-mini-batch", type=int, default=16,
@@ -136,6 +139,9 @@ def main():
     step_fn = jax.jit(make_train_step(model, tx, 1, 0.1), donate_argnums=0)
 
     rng = jax.random.PRNGKey(42)
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(step_fn.lower(state, batch, rng).compile().as_text())
     hits0, miss0 = cache_stats["hits"], cache_stats["misses"]
     t_compile0 = time.perf_counter()
     state, metrics = step_fn(state, batch, rng)

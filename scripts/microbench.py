@@ -262,9 +262,54 @@ def bench_loader(n_samples: int = 32, scenes: int = 2):
         shutil.rmtree(td, ignore_errors=True)
 
 
+def bench_ckpt(n_tensors: int = 120, mb_each: float = 4.0):
+    """State-dict checkpoint read: torch.load + .float().numpy() per tensor
+    vs the native nl_pt_dict path (no torch import, tensors land directly in
+    numpy buffers). Shape mimics a VAE checkpoint: many few-MB conv kernels."""
+    import shutil
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from ttt_video_dit_tpu.data import native
+
+    if not native.available():
+        print("ckpt: native toolchain unavailable, skipping")
+        return
+    import torch
+
+    td = tempfile.mkdtemp(prefix="ckptbench_")
+    try:
+        side = int((mb_each * 2**20 / 4) ** 0.5)
+        sd = {f"encoder.block{i}.conv.weight": torch.randn(side, side) for i in range(n_tensors)}
+        path = f"{td}/vae.pt"
+        torch.save({"state_dict": sd}, path)
+        total_mb = n_tensors * side * side * 4 / 2**20
+
+        t0 = time.perf_counter()
+        ref = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+        ref_np = {k: v.to(torch.float32).numpy() for k, v in ref.items()}
+        t_torch = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        got = native.load_pt_dict(path)
+        t_native = time.perf_counter() - t0
+
+        k0 = next(iter(ref_np))
+        np.testing.assert_array_equal(got[f"state_dict.{k0}"], ref_np[k0])
+        print(
+            f"ckpt .pt dict: {total_mb:.0f} MB, torch.load {total_mb/t_torch:.0f} MB/s, "
+            f"native {total_mb/t_native:.0f} MB/s ({t_torch/t_native:.1f}x)",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "loader", "all"])
+    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "loader", "ckpt", "all"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--heads", type=int, default=16)
     args = p.parse_args()
@@ -283,6 +328,8 @@ def main():
         bench_ttt_k_sweep(args.iters, heads=args.heads)
     if args.which == "loader":
         bench_loader()
+    if args.which == "ckpt":
+        bench_ckpt()
 
 
 if __name__ == "__main__":
