@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--use-kernel", action="store_true", default=True)
     parser.add_argument("--no-kernel", dest="use_kernel", action="store_false")
+    parser.add_argument("--no-fused-ttt-bwd", dest="fused_ttt_bwd", action="store_false",
+                        default=True, help="hybrid TTT backward (fused-forward + XLA VJP "
+                        "recompute) instead of the fully-fused Pallas backward")
     parser.add_argument("--remat", default="none", choices=["block", "none", "full", "layer"],
                         help="activation-checkpointing preset for the bench model; 'none' "
                         "is fastest and fits HBM at the default geometry (remat trades "
@@ -106,6 +109,7 @@ def main():
         remat_forward_ssm=args.remat == "full",
         remat_reverse_ssm=args.remat == "full",
         remat_policy=args.remat_policy,
+        use_fused_backward=args.fused_ttt_bwd,
         scan_layers=args.scan_layers,
         splash_lean_blocks={"auto": None, "on": True, "off": False}[args.splash_lean],
         dtype="bfloat16",
