@@ -40,7 +40,10 @@ def _name_res(*cks):
 
 # Default for the fully-fused Pallas backward kernels (ttt_backward.py); the
 # per-call ``fused`` argument (config: model.use_fused_backward) selects the
-# XLA checkpoint-group backward below when False.
+# XLA checkpoint-group backward below when False. Measured at flagship scale
+# (bench.py --no-fused-ttt-bwd, d3072x48hx2L save_seq): hybrid 1.583 s/step
+# vs fused 0.962 — and hybrid OOMs at remat=none — so the fallback is a
+# debugging/bisection path, not a production one (docs/performance.md).
 USE_FUSED_BWD = True
 
 
