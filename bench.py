@@ -68,6 +68,12 @@ def main():
                         help="sample mode: number of distinct storyboards (different "
                         "conditioning) to sample; >1 also asserts the per-model denoiser "
                         "jit cache prevents re-tracing between storyboards")
+    parser.add_argument("--config", default=None,
+                        help="drive the bench from a train TOML (configs/train/...): the "
+                        "model preset, remat recipe, scan_layers, and kernel knobs come "
+                        "from the config file exactly as train.py would resolve them; "
+                        "--num-layers still overrides depth (the 42-layer 5B stack "
+                        "needs a multi-chip HBM budget — see scripts/aot_scale_check.py)")
     args = parser.parse_args()
 
     from ttt_video_dit_tpu.utils.tpu_flags import ensure_tpu_flags
@@ -95,26 +101,42 @@ def main():
     from ttt_video_dit_tpu.training.train_step import make_train_step
     from ttt_video_dit_tpu.utils.metrics import device_peak_flops, train_step_flops
 
-    cfg = ModelConfig(
-        model_dim=args.model_dim,
-        num_heads=args.num_heads,
-        num_layers=args.num_layers,
-        ssm_layer=args.ssm_layer,
-        text_dim=4096,
-        use_kernel=args.use_kernel,
-        remat_transformer_layers=args.remat != "none",
-        remat_seq_modeling_block=args.remat in ("block", "full"),
-        remat_mlp=args.remat in ("block", "full"),
-        remat_attention=args.remat == "full",
-        remat_forward_ssm=args.remat == "full",
-        remat_reverse_ssm=args.remat == "full",
-        remat_policy=args.remat_policy,
-        use_fused_backward=args.fused_ttt_bwd,
-        scan_layers=args.scan_layers,
-        splash_lean_blocks={"auto": None, "on": True, "off": False}[args.splash_lean],
-        dtype="bfloat16",
-        **VIDEO_DURATION_CONFIGS[args.video_length],
-    )
+    if args.config is not None:
+        # Config-file-driven row: resolve the ModelConfig exactly as train.py
+        # does (JobConfig -> get_preset -> update), so the bench measures the
+        # recipe a user actually gets from `--job.config_file`. Only depth is
+        # overridden (42 x d3072 exceeds one chip's HBM; multi-chip fit is
+        # proved by scripts/aot_scale_check.py instead).
+        from ttt_video_dit_tpu.config.job_config import JobConfig
+
+        job_config = JobConfig().parse_args(["--job.config_file", args.config])
+        cfg = ModelConfig.get_preset(job_config.model.size, job_config.model.video_length, job_config)
+        cfg.num_layers = args.num_layers
+        cfg.text_dim = 4096
+        args.model_dim = cfg.model_dim
+        args.ssm_layer = cfg.ssm_layer
+        args.video_length = job_config.model.video_length
+    else:
+        cfg = ModelConfig(
+            model_dim=args.model_dim,
+            num_heads=args.num_heads,
+            num_layers=args.num_layers,
+            ssm_layer=args.ssm_layer,
+            text_dim=4096,
+            use_kernel=args.use_kernel,
+            remat_transformer_layers=args.remat != "none",
+            remat_seq_modeling_block=args.remat in ("block", "full"),
+            remat_mlp=args.remat in ("block", "full"),
+            remat_attention=args.remat == "full",
+            remat_forward_ssm=args.remat == "full",
+            remat_reverse_ssm=args.remat == "full",
+            remat_policy=args.remat_policy,
+            use_fused_backward=args.fused_ttt_bwd,
+            scan_layers=args.scan_layers,
+            splash_lean_blocks={"auto": None, "on": True, "off": False}[args.splash_lean],
+            dtype="bfloat16",
+            **VIDEO_DURATION_CONFIGS[args.video_length],
+        )
 
     if args.mode == "sample":
         return bench_sampling(args)
@@ -191,6 +213,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "cache_hit": cache_hit,
     }
+    if args.config is not None:
+        result["config_file"] = args.config
     print(json.dumps(result))
 
 

@@ -48,11 +48,31 @@ def test_cmdline_overrides_toml():
     toml = osp.join(CONFIG_ROOT, "train", "ttt-mlp", "3s.toml")
     base = JobConfig().parse_args(["--job.config_file", toml])
     over = JobConfig().parse_args(
-        ["--job.config_file", toml, "--model.mini_batch_size", "32", "--model.scan_layers"]
+        ["--job.config_file", toml, "--model.mini_batch_size", "32", "--remat.forward_ssm"]
     )
     assert base.model.mini_batch_size != 32
     assert over.model.mini_batch_size == 32
-    assert over.model.scan_layers and not base.model.scan_layers
+    assert over.remat.forward_ssm and not base.remat.forward_ssm
+
+
+STAGE_TOMLS = [t for t in TRAIN_TOMLS if "debug" not in t]
+
+
+@pytest.mark.parametrize("toml", STAGE_TOMLS, ids=lambda p: osp.relpath(p, CONFIG_ROOT))
+def test_stage_tomls_ship_measured_best_remat(toml):
+    """Every 5B curriculum stage must ship the TPU-measured-best remat recipe —
+    layer-granular remat + save_seq policy + scan-layers — NOT the reference's
+    nested H100 flag set, which triple-computes block interiors and measures
+    ~10 MFU points slower on TPU (docs/performance.md "Depth under remat";
+    reference recipe: /root/reference/configs/train/ttt-mlp/63s.toml:33-40)."""
+    jc = JobConfig().parse_args(["--job.config_file", toml])
+    mc = ModelConfig.get_preset(jc.model.size, jc.model.video_length, jc)
+    assert mc.remat_policy == "save_seq"
+    assert mc.remat_transformer_layers and mc.remat_transformer_layer_group_size == 1
+    assert mc.scan_layers
+    # No nested remat under the layer boundary (the 3x-forward tax).
+    assert not (mc.remat_seq_modeling_block or mc.remat_mlp or mc.remat_attention)
+    assert not (mc.remat_forward_ssm or mc.remat_reverse_ssm)
 
 
 def test_unknown_key_rejected(tmp_path):
