@@ -68,6 +68,12 @@ def main():
                         help="sample mode: number of distinct storyboards (different "
                         "conditioning) to sample; >1 also asserts the per-model denoiser "
                         "jit cache prevents re-tracing between storyboards")
+    parser.add_argument("--no-selftest", dest="selftest", action="store_false", default=True,
+                        help="skip the compiled-mode kernel parity self-test that runs "
+                        "before timing on TPU (utils/selftest.py; ~2 min of small compiles "
+                        "cold, cache hits warm) — the bench JSON carries its verdict in "
+                        "the 'selftest' field so every driver bench is also a hardware "
+                        "parity artifact")
     parser.add_argument("--config", default=None,
                         help="drive the bench from a train TOML (configs/train/...): the "
                         "model preset, remat recipe, scan_layers, and kernel knobs come "
@@ -137,6 +143,19 @@ def main():
             dtype="bfloat16",
             **VIDEO_DURATION_CONFIGS[args.video_length],
         )
+
+    # Hardware parity before timing: every bench JSON doubles as a
+    # compiled-mode kernel parity artifact (VERDICT r3 ask; the reference's
+    # analogous mechanism is use_kernel=False, ttt/models/ssm/ttt_layer.py:338).
+    args._selftest = "skipped"
+    if args.selftest and jax.default_backend() == "tpu":
+        from ttt_video_dit_tpu.utils.selftest import kernel_selftest
+
+        st = kernel_selftest()
+        args._selftest = "pass" if st["ok"] else "fail"
+        if not st["ok"]:
+            bad = {k: round(v, 5) for k, v in st["checks"].items()}
+            print(f"SELFTEST FAILURES: {bad}", file=sys.stderr)
 
     if args.mode == "sample":
         return bench_sampling(args)
@@ -212,6 +231,7 @@ def main():
         "loss": loss_val,
         "compile_s": round(compile_s, 1),
         "cache_hit": cache_hit,
+        "selftest": args._selftest,
     }
     if args.config is not None:
         result["config_file"] = args.config
@@ -292,6 +312,7 @@ def bench_sampling(args):
         "storyboards": len(boards),
         "denoiser_traces": n_traces,
         "device": jax.devices()[0].device_kind,
+        "selftest": args._selftest,
     }
     print(json.dumps(result))
 

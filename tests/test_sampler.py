@@ -183,3 +183,66 @@ def inspect_closure(fn):
     import inspect
 
     return inspect.getclosurevars(fn).nonlocals
+
+
+# ----------------------------------------------------------- SPMD sampling
+
+
+def test_spmd_sampling_parity(rng):
+    """Sharded sampling (tp=2 head sharding + fsdp param sharding on the CPU
+    mesh) must reproduce the unsharded latents: this is the sample.py SPMD
+    wiring — params sharded per the partition rules, the denoiser traced
+    under the ambient mesh so the model's maybe_shard constraints activate
+    (reference samples 63 s under tp=2: configs/eval/ttt-mlp/63s.toml,
+    ttt/infra/parallelisms.py:106-152)."""
+    import contextlib
+
+    from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
+    from ttt_video_dit_tpu.parallel.mesh import build_mesh, use_mesh
+    from ttt_video_dit_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_config()
+    model = CogVideoX(cfg)
+    B, frames, scenes, text_len = 1, 13, 1, 8
+    shape = (B, frames, cfg.in_channels, 8, 8)
+    text = jnp.asarray(rng.standard_normal((B, scenes, text_len, cfg.text_dim)), jnp.float32)
+    vid0 = jnp.zeros(shape, jnp.float32)
+    bounds = (jnp.zeros((B,), jnp.int32), jnp.full((B,), 1000, jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), vid0, text, jax.random.PRNGKey(1), bounds)
+
+    def run(mesh, params_):
+        denoise_fn = S.make_cfg_denoise_fn(model, params_, text, jnp.zeros_like(text))
+        sampler = S.DPMPP2MSampler(num_steps=3, guider=S.DynamicCFG(scale=6, exp=5, num_steps=3))
+        with use_mesh(mesh) if mesh is not None else contextlib.nullcontext():
+            return np.asarray(sampler(jax.random.PRNGKey(7), denoise_fn, shape))
+
+    ref = run(None, params)
+    mesh = build_mesh(1, 2, 2, devices=jax.devices()[:4])
+    out = run(mesh, shard_params(params, mesh))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_eval_toml_tp_sharding_builds_mesh():
+    """configs/eval/ttt-mlp/63s.toml carries tp_sharding=2; sample.py's mesh
+    builder must honor it (a 1x1x2 mesh over the first 2 devices) instead of
+    silently ignoring it."""
+    # Load by explicit path: the reference oracle puts /root/reference on
+    # sys.path, whose own sample.py would otherwise shadow ours.
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "sample.py")
+    spec = importlib.util.spec_from_file_location("ttt_tpu_sample_entry", path)
+    sample_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sample_mod)
+    from ttt_video_dit_tpu.config.job_config import JobConfig
+
+    jc = JobConfig(eval_mode=True).parse_args(["--job.config_file", "configs/eval/ttt-mlp/63s.toml"])
+    mesh = sample_mod.build_eval_mesh(jc.parallelism)
+    assert mesh is not None, "tp_sharding=2 must build a mesh when devices allow"
+    assert dict(mesh.shape) == {"replica": 1, "fsdp": 1, "tensor": 2}
+
+    # Single-axis config -> no mesh (unsharded fast path).
+    jc1 = JobConfig(eval_mode=True).parse_args(["--job.config_file", "configs/eval/ttt-mlp/3s.toml"])
+    assert sample_mod.build_eval_mesh(jc1.parallelism) is None

@@ -169,8 +169,10 @@ class VideoAutoencoder:
         return vae
 
     @classmethod
-    def load_decoder(cls, path: str, scale_factor: float = 1.0, version: float = 1.0):
-        return cls.from_torch_checkpoint(path, scale_factor, version)
+    def load_decoder(
+        cls, path: str, scale_factor: float = 1.0, version: float = 1.0, mesh: Optional[Mesh] = None
+    ):
+        return cls.from_torch_checkpoint(path, scale_factor, version, mesh=mesh)
 
 
 # ------------------------------------------------------- weight conversion

@@ -15,9 +15,13 @@ on TPU for long windows when shapes allow.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ttt_video_dit_tpu.parallel.mesh import FSDP, REPLICA, TENSOR, current_mesh, target_platform
 
 # Above this key length, avoid materializing the full score matrix.
 _CHUNK_THRESHOLD = 4096
@@ -323,8 +327,36 @@ def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count
     S = k.shape[1]
     if S <= _CHUNK_THRESHOLD:
         return _direct(q, k, v)
-    if jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16:
-        return _splash_padded(q, k, v, block=_SPLASH_BLOCK, conservative=conservative,
-                              windows=windows, param_count=param_count,
-                              reserved_bytes=reserved_bytes)
+    if target_platform() == "tpu" and q.dtype == jnp.bfloat16:
+        return _splash_dispatch(q, k, v, block=_SPLASH_BLOCK, conservative=conservative,
+                                windows=windows, param_count=param_count,
+                                reserved_bytes=reserved_bytes)
     return _chunked(q, k, v)
+
+
+def _splash_dispatch(q, k, v, *, block, conservative, windows, param_count, reserved_bytes):
+    """GSPMD has no partitioning rule for ``pallas_call``: under an ambient
+    mesh the splash kernel must run inside shard_map over the batch
+    (replica/fsdp) and head (tensor) axes — the attention analog of
+    ops/pallas/sharded.py for the TTT kernels. Each shard keeps WHOLE samples
+    (the windows fold needs its local batch divisible by ``windows``), so the
+    data axes must divide the sample batch B = batch/windows; heads split when
+    tensor divides H. Per-window attention needs no collectives."""
+    call = functools.partial(_splash_padded, block=block, conservative=conservative,
+                             windows=windows, param_count=param_count,
+                             reserved_bytes=reserved_bytes)
+    mesh = current_mesh()
+    if mesh is None or all(mesh.shape[a] <= 1 for a in mesh.axis_names):
+        return call(q, k, v)
+    BC, _, H, _ = q.shape
+    B = BC // windows
+    data = tuple(a for a in (REPLICA, FSDP) if a in mesh.axis_names and mesh.shape[a] > 1)
+    if data and B % math.prod(mesh.shape[a] for a in data) != 0:
+        data = ()
+    tp = TENSOR if (TENSOR in mesh.axis_names and mesh.shape[TENSOR] > 1
+                    and H % mesh.shape[TENSOR] == 0) else None
+    if not data and tp is None:
+        return call(q, k, v)
+    spec = P(data or None, None, tp, None)
+    fn = jax.shard_map(call, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+    return fn(q, k, v)

@@ -13,6 +13,7 @@ import jax
 
 from ttt_video_dit_tpu.ops.pallas import ttt_vjp
 from ttt_video_dit_tpu.ops.pallas.sharded import shard_mapped_ttt
+from ttt_video_dit_tpu.parallel.mesh import target_platform
 
 _FORCE_INTERPRET = False  # tests flip this to exercise kernels on CPU
 
@@ -20,7 +21,7 @@ _FORCE_INTERPRET = False  # tests flip this to exercise kernels on CPU
 def is_supported(shape) -> bool:
     B, H, NC, CS, F = shape
     shapes_ok = CS % 8 == 0 and F % 8 == 0
-    return shapes_ok and (_FORCE_INTERPRET or jax.default_backend() == "tpu")
+    return shapes_ok and (_FORCE_INTERPRET or target_platform() == "tpu")
 
 
 def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16,

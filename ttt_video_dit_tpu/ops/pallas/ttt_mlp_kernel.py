@@ -12,6 +12,7 @@ import jax
 
 from ttt_video_dit_tpu.ops.pallas import ttt_vjp
 from ttt_video_dit_tpu.ops.pallas.sharded import shard_mapped_ttt
+from ttt_video_dit_tpu.parallel.mesh import target_platform
 
 _FORCE_INTERPRET = False
 
@@ -19,7 +20,7 @@ _FORCE_INTERPRET = False
 def is_supported(shape) -> bool:
     B, H, NC, CS, F = shape
     shapes_ok = CS % 8 == 0 and F % 8 == 0
-    return shapes_ok and (_FORCE_INTERPRET or jax.default_backend() == "tpu")
+    return shapes_ok and (_FORCE_INTERPRET or target_platform() == "tpu")
 
 
 def ttt_mlp(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int = 16,

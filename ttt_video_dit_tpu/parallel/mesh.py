@@ -74,6 +74,21 @@ def current_mesh() -> Optional[Mesh]:
     return _current_mesh.get()
 
 
+def target_platform() -> str:
+    """Platform the current computation TARGETS (vs runs on).
+
+    Kernel dispatch must key on this, not ``jax.default_backend()``: a
+    device-less AOT compile against a TPU topology (scripts/aot_scale_check.py)
+    runs on a CPU host where default_backend() says "cpu" but the ambient
+    mesh's devices are detached TPU descriptors — the TPU kernel paths must
+    still be taken for the compiled program to be the real one.
+    """
+    mesh = current_mesh()
+    if mesh is not None:
+        return mesh.devices.flat[0].platform
+    return jax.default_backend()
+
+
 def maybe_shard(x, *spec):
     """Apply a sharding constraint if an ambient mesh is set; no-op otherwise.
 

@@ -1,0 +1,104 @@
+"""Compiled-mode kernel parity self-test.
+
+The CPU test suite can only run the Pallas kernels in interpret mode; these
+discriminators run them COMPILED on the real chip and compare against the
+lax.scan oracle — the TPU analog of the reference's ``use_kernel=False``
+parity mechanism (reference: ttt/models/ssm/ttt_layer.py:338). Shared by
+scripts/tpu_smoke.py (manual hardware CI) and ``bench.py`` (runs before
+timing, so every driver bench doubles as a hardware parity artifact).
+
+Covers:
+- ragged NC (NC % checkpoint_group != 0): the backward kernels' dynamic group
+  bound + masked edge-block writes (ops/pallas/ttt_backward.py)
+- full/ragged pairs at identical shapes (discriminates masked-edge-write bugs,
+  which show ragged >> full, from plain bf16 accumulation noise)
+- folded-window splash attention vs per-window naive softmax
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def _rel_err(a, b) -> float:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8))
+
+
+def kernel_selftest(log: Optional[Callable[[str], None]] = None) -> dict:
+    """Run the compiled-mode discriminators on the current default device.
+
+    Returns {"ok": bool, "checks": {name: rel_err}}. Tolerances: on-chip both
+    sides execute every matmul at bf16 precision, so grads get 2e-2 and
+    forwards 2e-4 (see scripts/tpu_smoke.py history).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ttt_video_dit_tpu.ops import ttt_scan
+    from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel, ttt_mlp_kernel
+
+    checks: dict[str, float] = {}
+    ok = True
+
+    def check(name: str, got, want, tol: float) -> None:
+        nonlocal ok
+        err = _rel_err(got, want)
+        checks[name] = err
+        good = err <= tol
+        ok &= good
+        if log:
+            log(f"  {name}: rel_err {err:.2e} (tol {tol:.0e}) {'ok' if good else 'FAIL'}")
+
+    rng = np.random.default_rng(0)
+    B, H, NC, CS, F = 1, 8, 5, 64, 64
+    K = 4
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    XQ, XK, XV = f(B, H, NC, CS, F), f(B, H, NC, CS, F), f(B, H, NC, CS, F)
+    eta = jnp.abs(f(B, H, NC, CS)) * 0.01
+    lnw, lnb = jnp.abs(f(H, F)) + 0.5, f(H, F) * 0.1
+    W1l, b1l = f(B, H, F, F) * 0.02, f(B, H, 1, F) * 0.01
+    W1m, b1m = f(B, H, F, 4 * F) * 0.02, f(B, H, 1, 4 * F) * 0.01
+    W2m, b2m = f(B, H, 4 * F, F) * 0.02, f(B, H, 1, F) * 0.01
+
+    for name, kern, oracle, args, nc in (
+        ("ttt_linear full", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 4),
+        ("ttt_linear ragged", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 5),
+        ("ttt_mlp full", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 4),
+        ("ttt_mlp ragged", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 5),
+    ):
+        q, k, v, e = XQ[:, :, :nc], XK[:, :, :nc], XV[:, :, :nc], eta[:, :, :nc]
+
+        def loss_k(q, k, v):
+            return jnp.sum(kern(q, k, v, e, lnw, lnb, *args, K) ** 2)
+
+        def loss_o(q, k, v):
+            return jnp.sum(oracle(q, k, v, e, lnw, lnb, *args, K) ** 2)
+
+        got = jax.jit(jax.value_and_grad(loss_k, argnums=(0, 1, 2)))(q, k, v)
+        want = jax.jit(jax.value_and_grad(loss_o, argnums=(0, 1, 2)))(q, k, v)
+        check(f"{name} fwd", got[0], want[0], 2e-4)
+        for g, w, nm in zip(got[1], want[1], ("dq", "dk", "dv")):
+            check(f"{name} {nm}", g, w, 2e-2)
+
+    # Folded-window splash vs per-window naive attention (bf16 on chip).
+    from ttt_video_dit_tpu.ops.attention import _splash_padded
+
+    C, S, Ha = 3, 4500, 4
+    q = jnp.asarray(rng.standard_normal((C, S, Ha, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((C, S, Ha, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((C, S, Ha, 64)), jnp.bfloat16)
+
+    def naive(q, k, v):
+        scale = 1.0 / 8.0
+        logits = jnp.einsum("bshf,bthf->bhst", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+        return jnp.einsum("bhst,bthf->bshf", jax.nn.softmax(logits, axis=-1), v.astype(jnp.float32))
+
+    got = jax.jit(lambda q, k, v: _splash_padded(q, k, v, block=2048, windows=C))(q, k, v)
+    want = jax.jit(naive)(q, k, v)
+    check("splash folded-windows fwd", got, want, 2e-2)
+
+    return {"ok": ok, "checks": checks}
