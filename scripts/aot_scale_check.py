@@ -203,7 +203,7 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
     step = make_train_step(model, tx, grad_accum_steps=job.training.grad_accum_steps,
                            text_dropout_prob=job.training.text_dropout_prob)
 
-    stderr_buf = io.StringIO()
+    oom = None
     with use_mesh(mesh):
         lowered = jax.jit(step, donate_argnums=0).lower(state_abs, batch_abs, rng_abs)
         t_lower = time.time() - t0
@@ -216,9 +216,14 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
             old_fd = os.dup(2)
             try:
                 os.dup2(tf.fileno(), 2)
-                compiled = lowered.compile(
-                    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024}
-                )
+                try:
+                    compiled = lowered.compile(
+                        compiler_options={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024}
+                    )
+                except Exception as e:  # HBM OOM is a *finding*, not a crash
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    oom = str(e)
             finally:
                 os.dup2(old_fd, 2)
                 os.close(old_fd)
@@ -226,12 +231,32 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
             spmd_err = tf.read()
         t_compile = time.time() - t1
 
+    hbm = HBM_BYTES[chip]
+    base = dict(
+        config=config_file, chip=chip, topology=topo_desc, mesh=dict(mesh.shape),
+        chips=rep * fsdp * tp,
+        model=f"{job.model.size} {cfg.num_layers}L d{cfg.model_dim} {cfg.ssm_layer}",
+        params=n_params, global_batch=global_bs, seq_tokens=seq,
+        hbm_gib=round(hbm / 1024**3, 1),
+        lower_s=round(t_lower, 1), compile_s=round(t_compile, 1),
+    )
+    if oom is not None:
+        m = re.search(r"Used ([\d.]+)([MG]) of ([\d.]+)G hbm", oom)
+        used = float(m.group(1)) * (1 if m.group(2) == "G" else 1 / 1024) if m else None
+        # Unpadded HLO-temp figure, when present, separates real demand from
+        # HBM tiling padding.
+        mu = re.search(r"Unpadded \(([\d.]+)G\)", oom)
+        return dict(
+            base, fits=False, oom=True, used_gib=used,
+            temp_unpadded_gib=float(mu.group(1)) if mu else None,
+            oom_top=oom[oom.find("Largest program allocations"):][:600],
+        )
+
     ma = compiled.memory_analysis()
     hlo = compiled.as_text()
     coll = count_collectives(hlo)
     involuntary = spmd_err.count("Involuntary full rematerialization")
 
-    hbm = HBM_BYTES[chip]
     arg_b = int(ma.argument_size_in_bytes)
     out_b = int(ma.output_size_in_bytes)
     tmp_b = int(ma.temp_size_in_bytes)
@@ -240,30 +265,18 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
     # aliased into arguments).
     peak_b = arg_b + tmp_b + max(out_b - alias_b, 0)
 
-    row = dict(
-        config=config_file,
-        chip=chip,
-        topology=topo_desc,
-        mesh=dict(mesh.shape),
-        chips=rep * fsdp * tp,
-        model=f"{job.model.size} {cfg.num_layers}L d{cfg.model_dim} {cfg.ssm_layer}",
-        params=n_params,
-        global_batch=global_bs,
-        seq_tokens=seq,
+    return dict(
+        base,
         argument_gib=round(arg_b / 1024**3, 3),
         output_gib=round(out_b / 1024**3, 3),
         temp_gib=round(tmp_b / 1024**3, 3),
         alias_gib=round(alias_b / 1024**3, 3),
         peak_gib=round(peak_b / 1024**3, 3),
-        hbm_gib=round(hbm / 1024**3, 1),
         fits=bool(peak_b <= hbm),
         headroom_gib=round((hbm - peak_b) / 1024**3, 2),
         collectives=coll,
         involuntary_remat_warnings=involuntary,
-        lower_s=round(t_lower, 1),
-        compile_s=round(t_compile, 1),
     )
-    return row
 
 
 def main():

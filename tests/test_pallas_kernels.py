@@ -158,7 +158,7 @@ def test_fused_preproc_grads_match_composed_autodiff(rng, K):
         return jnp.sum(out * out)
 
     def pre_loss(a):
-        out = ttt_vjp.ttt_mlp_fused_pre(K, True, a[0], a[1], a[2], a[3], rope_cos, rope_sin,
+        out = ttt_vjp.ttt_mlp_fused_pre(K, True, None, a[0], a[1], a[2], a[3], rope_cos, rope_sin,
                                         a[4], a[5], a[6], a[7], a[8], a[9])
         return jnp.sum(out * out)
 
@@ -178,7 +178,7 @@ def test_fused_preproc_linear_matches_composed_oracle(rng):
 
     XQp, XKp, XVp = _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl)
     out_ref = ttt_scan.ttt_linear(XQp, XKp, XVp, eta, lnw, lnb, W1, b1, 3)
-    out_pre = ttt_vjp.ttt_linear_fused_pre(3, True, XQr, XKr, XVr, eta, rope_cos, rope_sin,
+    out_pre = ttt_vjp.ttt_linear_fused_pre(3, True, None, XQr, XKr, XVr, eta, rope_cos, rope_sin,
                                            lnw, lnb, W1, b1)
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
 
@@ -229,3 +229,65 @@ def test_layer_fused_preproc_matches_scan_path(rng, monkeypatch):
         scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=5e-5 * scale,
                                    err_msg=str(ka))
+
+
+# ----------------------------------------------------- fused eta gate (lr)
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_fused_eta_gate_grads_match_composed_autodiff(rng, K):
+    """eta-gate fusion: the kernel takes the PRE-SIGMOID LR-gate logits plus a
+    static eta_scale, applies eta = sigmoid(gate) * eta_scale in-kernel, and
+    its backward emits d_gate — must match jax autodiff through the XLA
+    sigmoid/scale composed with the scan oracle (values and all grads,
+    including the ragged-NC K=4 case). Reference computes this outside its
+    kernels (ttt/models/ssm/ttt_layer.py:143-155, 285-288)."""
+    args = _inputs(rng, mlp=True)
+    XQr, XKr, XVr, _, lnw, lnb, W1, b1, W2, b2 = args
+    gate = jnp.asarray(rng.standard_normal((B, H, NC, CS)), jnp.float32)
+    scale = 0.1 / F / CS
+    stl = 24
+    rope_cos, rope_sin, cos, sin = _tables(rng, NC * CS, stl, F, NC, CS)
+
+    def ref_loss(a):
+        XQp, XKp, XVp = _xla_preproc(a[0], a[1], a[2], a[4], a[5], cos, sin, stl)
+        eta = jax.nn.sigmoid(a[3]) * scale
+        out = ttt_scan.ttt_mlp(XQp, XKp, XVp, eta, a[4], a[5], a[6], a[7], a[8], a[9], K)
+        return jnp.sum(out * out)
+
+    def gate_loss(a):
+        out = ttt_vjp.ttt_mlp_fused_pre(K, True, scale, a[0], a[1], a[2], a[3], rope_cos,
+                                        rope_sin, a[4], a[5], a[6], a[7], a[8], a[9])
+        return jnp.sum(out * out)
+
+    newargs = (XQr, XKr, XVr, gate, lnw, lnb, W1, b1, W2, b2)
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(newargs)
+    v_pre, g_pre = jax.value_and_grad(gate_loss)(newargs)
+    np.testing.assert_allclose(float(v_pre), float(v_ref), rtol=1e-5)
+    for i, (a, b) in enumerate(zip(g_ref, g_pre)):
+        scale_a = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=3e-5 * scale_a,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_fused_eta_gate_linear_matches_composed_oracle(rng):
+    args = _inputs(rng, mlp=False)
+    XQr, XKr, XVr, _, lnw, lnb, W1, b1 = args
+    gate = jnp.asarray(rng.standard_normal((B, H, NC, CS)), jnp.float32)
+    scale = 0.1 / F / CS
+    stl = 16
+    rope_cos, rope_sin, cos, sin = _tables(rng, NC * CS, stl, F, NC, CS)
+
+    XQp, XKp, XVp = _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl)
+    eta = jax.nn.sigmoid(gate) * scale
+    out_ref = ttt_scan.ttt_linear(XQp, XKp, XVp, eta, lnw, lnb, W1, b1, 3)
+    out_gate = ttt_vjp.ttt_linear_fused_pre(3, True, scale, XQr, XKr, XVr, gate, rope_cos,
+                                            rope_sin, lnw, lnb, W1, b1)
+    np.testing.assert_allclose(np.asarray(out_gate), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
+
+    g_gate = jax.grad(lambda g_: jnp.sum(ttt_vjp.ttt_linear_fused_pre(
+        3, True, scale, XQr, XKr, XVr, g_, rope_cos, rope_sin, lnw, lnb, W1, b1) ** 2))(gate)
+    g_ref = jax.grad(lambda g_: jnp.sum(ttt_scan.ttt_linear(
+        XQp, XKp, XVp, jax.nn.sigmoid(g_) * scale, lnw, lnb, W1, b1, 3) ** 2))(gate)
+    scale_a = max(float(jnp.max(jnp.abs(g_ref))), 1e-6)
+    np.testing.assert_allclose(np.asarray(g_gate), np.asarray(g_ref), rtol=0, atol=3e-5 * scale_a)

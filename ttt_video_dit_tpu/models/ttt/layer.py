@@ -90,19 +90,35 @@ class TTTLayer(nn.Module):
         x = self.ttt_norm_weight[None, None] * x + self.ttt_norm_bias[None, None]
         return (x + XK.astype(jnp.float32)).astype(XV.dtype)
 
+    def _token_gate(self, hidden_states):
+        """Pre-sigmoid LR-gate logits [B, H, NC, CS]: x . lr_weight + bias.
+
+        The matmul runs at the input dtype with f32 accumulation (bf16 in
+        production — matching the reference, whose autocast runs this matmul
+        in bf16, ttt/models/ssm/ttt_layer.py:143-155) instead of materializing
+        an f32 copy of the full [B, L, D] hidden states."""
+        cfg = self.config
+        B, L, D = hidden_states.shape
+        w = self.learnable_ttt_lr_weight.astype(hidden_states.dtype)
+        lr = jnp.einsum("bld,hod->bhlo", hidden_states, w, preferred_element_type=jnp.float32)[..., 0]
+        lr = lr + self.learnable_ttt_lr_bias.reshape(1, -1, 1)
+        return lr.reshape(B, cfg.num_heads, L // cfg.mini_batch_size, cfg.mini_batch_size)
+
+    @property
+    def _eta_scale(self) -> float:
+        """sigmoid(gate) * eta_scale = the reference's eta = lr / CS with
+        lr = sigma(gate) * base_lr / head_dim (ttt_layer.py:285-288)."""
+        cfg = self.config
+        return cfg.ttt_base_lr / cfg.head_dim / cfg.mini_batch_size
+
     def _token_eta(self, hidden_states):
         """Per-token inner-loop LR: sigma(x.w+b) * base_lr / head_dim / CS.
 
         hidden_states: [B, L, D] -> eta [B, H, NC, CS]. Equivalent to the
-        reference's rank-1 eta matrix (see ops/ttt_scan.py docstring)."""
-        cfg = self.config
-        B, L, D = hidden_states.shape
-        x = hidden_states.astype(jnp.float32)
-        lr = jnp.einsum("bld,hod->bhlo", x, self.learnable_ttt_lr_weight)[..., 0]
-        lr = lr + self.learnable_ttt_lr_bias.reshape(1, -1, 1)
-        lr = jax.nn.sigmoid(lr) * (cfg.ttt_base_lr / cfg.head_dim)  # [B, H, L]
-        eta = lr / cfg.mini_batch_size
-        return eta.reshape(B, cfg.num_heads, L // cfg.mini_batch_size, cfg.mini_batch_size)
+        reference's rank-1 eta matrix (see ops/ttt_scan.py docstring). The
+        kernel path fuses the sigmoid/scale in-kernel instead
+        (_token_gate + eta_scale)."""
+        return jax.nn.sigmoid(self._token_gate(hidden_states)) * self._eta_scale
 
     def __call__(self, hidden_states, meta: SequenceMetadata, reverse: bool = False):
         """One TTT direction. ``reverse=True`` runs the reverse-direction scan
@@ -170,7 +186,11 @@ class TTTLayer(nn.Module):
         # [B, L, H, F] -> [B, H, NC, CS, F]
         to_mb = lambda x: jnp.moveaxis(x, 2, 1).reshape(B, H, NC, CS, F)
         XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
-        eta = self._token_eta(hidden_states)
+        # Fused-preproc kernels take the raw gate LOGITS and apply
+        # sigmoid * eta_scale in-kernel (forward and backward) — the
+        # elementwise eta pass and its VJP leave the XLA step program.
+        eta_scale = self._eta_scale if fuse_pre else None
+        eta = self._token_gate(hidden_states) if fuse_pre else self._token_eta(hidden_states)
 
         rope_cos = rope_sin = None
         if fuse_pre:
@@ -189,18 +209,23 @@ class TTTLayer(nn.Module):
         tile = lambda p: jnp.broadcast_to(p[None], (B,) + p.shape)
 
         if cfg.ssm_layer == "ttt_linear":
-            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin)
+            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale)
         else:
-            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin)
-
-        # Saveable under the save_seq remat policy: with the scan output AND
-        # the state checkpoints ("ttt_residuals", ops/pallas/ttt_vjp.py) kept,
-        # the sequential forward scan is DCE'd from a rematted layer's
-        # recompute pass entirely. Inert without a policy naming it.
-        XQW = jax.ad_checkpoint.checkpoint_name(XQW, "ttt_out")
+            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale)
 
         # [B, H, NC, CS, F] -> [B, L, H*F]
         out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
+
+        # Saveable under the save_seq remat policy: with this output AND the
+        # state checkpoints ("ttt_residuals", ops/pallas/ttt_vjp.py) kept, the
+        # sequential forward scan is DCE'd from a rematted layer's recompute
+        # pass entirely (the kernel's custom-vjp backward consumes only the
+        # residuals, never the scan output). Named on the TOKEN-major [B, L,
+        # H*F] tensor, not the kernel-layout [B, H, NC, CS, F]: the latter's
+        # minor dim F=64 pads 2x under the bf16 (8, 128) HBM tiling, which at
+        # 42 stacked layers wasted 4.3 GB/direction (AOT memory analysis,
+        # scripts/aot_scale_check.py). Inert without a policy naming it.
+        out = jax.ad_checkpoint.checkpoint_name(out, "ttt_out")
 
         # Barrier keeps the head->token transpose in bf16: without it XLA
         # hoists post_norm's f32 upcast above the transpose and materializes
@@ -214,7 +239,8 @@ class TTTLayer(nn.Module):
             out = undo_interleave(out, meta, reverse)
         return out
 
-    def _ttt_linear(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None):
+    def _ttt_linear(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None,
+                    eta_scale=None):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel
 
@@ -223,14 +249,15 @@ class TTTLayer(nn.Module):
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), group,
                     use_fused_bwd=self.config.use_fused_backward,
-                    rope_cos=rope_cos, rope_sin=rope_sin,
+                    rope_cos=rope_cos, rope_sin=rope_sin, eta_scale=eta_scale,
                 )
         assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_linear(
             XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias, tile(self.W1), tile(self.b1), group
         )
 
-    def _ttt_mlp(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None):
+    def _ttt_mlp(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None,
+                 eta_scale=None):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
 
@@ -239,7 +266,7 @@ class TTTLayer(nn.Module):
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
                     use_fused_bwd=self.config.use_fused_backward,
-                    rope_cos=rope_cos, rope_sin=rope_sin,
+                    rope_cos=rope_cos, rope_sin=rope_sin, eta_scale=eta_scale,
                 )
         assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_mlp(

@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ttt_video_dit_tpu.ops.ln import gelu_bwd, gelu_tanh
 from ttt_video_dit_tpu.ops.pallas.ttt_forward import (
     _bmm,
+    _eta_from_gate,
     _l2norm_f32,
     _rope_f32,
     _rot_matrix,
@@ -140,7 +141,7 @@ def _rope_vjp(u, cos, sin, R):
 # ------------------------------------------------------------------ MLP bwd
 
 
-def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
+def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
@@ -218,7 +219,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         b2_stash[i] = b2[:, 0:8] * 0.125
 
         _, XK, target, _ = load_step(i, need_q=False)
-        eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
+        eta = _eta_from_gate(eta_ref[0, i], eta_scale)  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         X2 = gelu_tanh(Z1)
@@ -253,7 +254,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         b2 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b2_stash[j])
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
-        eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
+        eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
         # Recompute the step's forward intermediates.
@@ -379,7 +380,12 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
         dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
         dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
-        deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+        if eta_scale is None:
+            deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+        else:
+            # d_gate = d_eta * d(sigmoid(g)*scale)/dg = de * eta * (1 - sigma)
+            sig = eta * (1.0 / eta_scale)
+            deta_ref[0, j] = (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype)
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         dw2_c[:] = dW2
@@ -401,7 +407,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
 # ---------------------------------------------------------------- linear bwd
 
 
-def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
+def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, dout_ref,
@@ -458,7 +464,7 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         b1_stash[i] = b1[:, 0:8] * 0.125
 
         _, XK, target, _ = load_step(i, need_q=False)
-        eta = eta_ref[0, i].astype(jnp.float32)[..., None]  # [G, CS, 1]
+        eta = _eta_from_gate(eta_ref[0, i], eta_scale)  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         z1_hat, std1 = _ln_stats(Z1)
@@ -477,7 +483,7 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
-        eta = eta_ref[0, j].astype(jnp.float32)[..., None]  # [G, CS, 1]
+        eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
         d_out = dout_ref[0, :, j].astype(jnp.float32)
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
@@ -546,7 +552,12 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
         dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
         dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
         dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
-        deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+        if eta_scale is None:
+            deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+        else:
+            # d_gate = d_eta * d(sigmoid(g)*scale)/dg = de * eta * (1 - sigma)
+            sig = eta * (1.0 / eta_scale)
+            deta_ref[0, j] = (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype)
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         return 0
@@ -561,7 +572,8 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, *refs):
 
 def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
                         checkpoint_group_size: int, interpret: bool = False,
-                        head_group: int | None = None, rope_cos=None, rope_sin=None):
+                        head_group: int | None = None, rope_cos=None, rope_sin=None,
+                        eta_scale=None):
     """Fused TTT-linear backward; see ttt_mlp_backward for conventions."""
     B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
@@ -586,7 +598,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_linear_bwd_kernel, K, NG, NC, pre),
+        functools.partial(_linear_bwd_kernel, K, NG, NC, pre, eta_scale),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F), ck_spec(8, F), x_spec(F)],
@@ -645,7 +657,8 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
 
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                      checkpoint_group_size: int, interpret: bool = False,
-                     head_group: int | None = None, rope_cos=None, rope_sin=None):
+                     head_group: int | None = None, rope_cos=None, rope_sin=None,
+                     eta_scale=None):
     """Fused backward. NC need not divide the checkpoint group: the ragged
     last group is handled in-kernel with dynamically-bounded loops (its edge
     block rows are Pallas garbage-reads/masked-writes and are never touched).
@@ -680,7 +693,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre),
+        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre, eta_scale),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),

@@ -115,6 +115,19 @@ def _fused_preproc(xq_raw, xk_raw, xv_raw, cos, sin, lnw, lnb):
     return XQ, XK, target
 
 
+def _eta_from_gate(raw, eta_scale):
+    """Per-step eta tile [G, CS, 1] from the kernel's eta input: either the
+    precomputed eta itself (``eta_scale`` is None) or the pre-sigmoid LR-gate
+    logit with eta = sigmoid(gate) * eta_scale fused in-kernel — the sigmoid/
+    scale the reference computes as a separate pass outside its kernels
+    (reference: ttt/models/ssm/ttt_layer.py:143-155, 285-288). The gate's
+    matmul (x . lr_weight + bias) stays in XLA on the MXU."""
+    e = raw.astype(jnp.float32)[..., None]
+    if eta_scale is None:
+        return e
+    return jax.nn.sigmoid(e) * eta_scale
+
+
 def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
     """Largest head group whose per-step VMEM (state scratch + live
     intermediates) fits comfortably under the 100 MB compiler limit.
@@ -137,7 +150,7 @@ def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
     return g
 
 
-def _linear_kernel(K: int, pre: bool, *refs):
+def _linear_kernel(K: int, pre: bool, eta_scale, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
          out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr) = refs
@@ -158,7 +171,7 @@ def _linear_kernel(K: int, pre: bool, *refs):
         # ones[CS,8] matmul reconstructs b exactly (1/8 the HBM of CS rows).
         b1_ckpt_ref[0, :, 0] = b_scr[:, 0:8] * 0.125
 
-    eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
+    eta = _eta_from_gate(eta_ref[0, 0], eta_scale)  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F] row-replicated
     lnb = lnb_ref[:].astype(jnp.float32)
     dt = xq_ref.dtype
@@ -196,7 +209,7 @@ def _linear_kernel(K: int, pre: bool, *refs):
     b_scr[:] = b_new
 
 
-def _mlp_kernel(K: int, pre: bool, *refs):
+def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1_ref, b1_ref, w2_ref, b2_ref,
@@ -224,7 +237,7 @@ def _mlp_kernel(K: int, pre: bool, *refs):
         w2_ckpt_ref[0, :, 0] = w2_scr[:]
         b2_ckpt_ref[0, :, 0] = b2_scr[:, 0:8] * 0.125
 
-    eta = eta_ref[0, 0].astype(jnp.float32)[..., None]  # [G, CS, 1]
+    eta = _eta_from_gate(eta_ref[0, 0], eta_scale)  # [G, CS, 1]
     lnw = lnw_ref[:].astype(jnp.float32)  # [G, CS, F]
     lnb = lnb_ref[:].astype(jnp.float32)
     dt = xq_ref.dtype
@@ -308,7 +321,7 @@ def _replicate_rows(x, CS):
 
 def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int,
                        interpret: bool = False, head_group: int | None = None,
-                       rope_cos=None, rope_sin=None):
+                       rope_cos=None, rope_sin=None, eta_scale=None):
     """XQ/XK/XV: [B,H,NC,CS,F]; eta: [B,H,NC,CS]; W1: [B,H,F,F]; b1: [B,H,1,F].
 
     With ``rope_cos``/``rope_sin`` ([NC, CS, F] f32 interleaved tables), the
@@ -327,7 +340,7 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     out, w_ckpt, b_ckpt = pl.pallas_call(
-        functools.partial(_linear_kernel, K, pre),
+        functools.partial(_linear_kernel, K, pre, eta_scale),
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F), state_spec(CS, F)],
@@ -355,7 +368,7 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
 
 def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int,
                     interpret: bool = False, head_group: int | None = None,
-                    rope_cos=None, rope_sin=None):
+                    rope_cos=None, rope_sin=None, eta_scale=None):
     """Same layout as ttt_linear_forward with W1 [B,H,F,4F], W2 [B,H,4F,F]."""
     B, H, NC, CS, F = XQ.shape
     F4 = W1.shape[-1]
@@ -368,7 +381,7 @@ def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_grou
     rope_specs = [rope_spec, rope_spec] if pre else []
 
     out, w1_ck, b1_ck, w2_ck, b2_ck = pl.pallas_call(
-        functools.partial(_mlp_kernel, K, pre),
+        functools.partial(_mlp_kernel, K, pre, eta_scale),
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F4), state_spec(CS, F4), state_spec(F4, F), state_spec(CS, F)],

@@ -25,10 +25,13 @@ def is_supported(shape) -> bool:
 
 
 def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16,
-               use_fused_bwd: bool | None = None, rope_cos=None, rope_sin=None):
+               use_fused_bwd: bool | None = None, rope_cos=None, rope_sin=None,
+               eta_scale=None):
     """With ``rope_cos``/``rope_sin`` ([NC, CS, F] interleaved tables), the
     q/k/v inputs are the RAW projections and the kernel fuses L2-norm + rope +
-    LN-reconstruction-target (requires the fused Pallas backward)."""
+    LN-reconstruction-target (requires the fused Pallas backward). With
+    ``eta_scale``, ``eta`` carries the pre-sigmoid LR-gate logits and the
+    kernel fuses eta = sigmoid(gate) * eta_scale too (and emits d_gate)."""
     NC = XQ.shape[2]
     K = min(max(checkpoint_group_size, 1), NC)
     fused = ttt_vjp.USE_FUSED_BWD if use_fused_bwd is None else use_fused_bwd
@@ -37,12 +40,14 @@ def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int =
         assert fused, "fused TTT preprocessing requires the fused Pallas backward"
 
         def kernel_pre(xq, xk, xv, e, lw, lb, w1, b1_, cos, sin):
-            return ttt_vjp.ttt_linear_fused_pre(K, _FORCE_INTERPRET, xq, xk, xv, e, cos, sin,
-                                                lw, lb, w1, b1_)
+            return ttt_vjp.ttt_linear_fused_pre(K, _FORCE_INTERPRET, eta_scale, xq, xk, xv,
+                                                e, cos, sin, lw, lb, w1, b1_)
 
         return shard_mapped_ttt(kernel_pre, n_states=2, n_tables=2)(
             XQ, XK, XV, eta, ln_w, ln_b, W1, b1, rope_cos, rope_sin
         )
+
+    assert eta_scale is None or rope_cos is not None, "eta-gate fusion requires fused preproc"
 
     def kernel_fn(xq, xk, xv, e, lw, lb, w1, b1_):
         return ttt_vjp.ttt_linear_fused(K, _FORCE_INTERPRET, fused, xq, xk, xv, e, lw, lb, w1, b1_)
