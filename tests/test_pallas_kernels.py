@@ -291,3 +291,15 @@ def test_fused_eta_gate_linear_matches_composed_oracle(rng):
         XQp, XKp, XVp, jax.nn.sigmoid(g_) * scale, lnw, lnb, W1, b1, 3) ** 2))(gate)
     scale_a = max(float(jnp.max(jnp.abs(g_ref))), 1e-6)
     np.testing.assert_allclose(np.asarray(g_gate), np.asarray(g_ref), rtol=0, atol=3e-5 * scale_a)
+
+
+def test_kernel_selftest_harness(rng):
+    """The bench/tpu_smoke hardware selftest must itself be sound: in
+    interpret mode every discriminator (incl. the fused eta-gate one) passes
+    against the oracle on CPU."""
+    from ttt_video_dit_tpu.utils.selftest import kernel_selftest
+
+    result = kernel_selftest(interpret=True)
+    bad = {k: v for k, v in result["checks"].items() if not result["ok"]}
+    assert result["ok"], f"selftest discriminators failed: {bad}"
+    assert len(result["checks"]) >= 19  # 4 pairs x 4 + 3 gate checks

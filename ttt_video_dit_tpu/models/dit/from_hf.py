@@ -97,39 +97,56 @@ def map_hf_tensor(key: str, value: np.ndarray):
     return None
 
 
-def convert_hf_checkpoint(hf_dir: str, init_params, dtype=np.float32):
-    """Overlay HF CogVideoX weights onto an initialized param pytree (TTT
-    params keep their init). Returns the updated (plain-dict) pytree."""
+def _iter_hf_tensors(hf_dir: str):
+    """Stream (key, np.ndarray) pairs from a safetensors shard directory —
+    ONE tensor materialized at a time, so converting a 10 GB checkpoint
+    costs the target pytree plus a single tensor of headroom, never the
+    whole source (the reference torch.load's all-at-once state dict is the
+    anti-pattern here; reference from_hf.py:36-133)."""
     import glob
 
-    import jax
-
-    tensors = {}
     files = sorted(glob.glob(os.path.join(hf_dir, "*.safetensors")))
     assert files, f"no safetensors under {hf_dir}"
+    # Pick the backend up front (a mid-stream fallback would re-yield
+    # tensors): numpy unless unavailable or the shard holds bf16.
+    use_np = True
     try:
-        from safetensors.numpy import safe_open  # type: ignore
+        from safetensors.numpy import safe_open as np_open  # type: ignore
 
+        with np_open(files[0], framework="np") as f:
+            first = next(iter(f.keys()), None)
+            if first is not None:
+                f.get_tensor(first)
+    except Exception:
+        use_np = False
+
+    if use_np:
         for fn in files:
-            with safe_open(fn, framework="np") as f:
+            with np_open(fn, framework="np") as f:
                 for key in f.keys():
-                    tensors[key] = f.get_tensor(key)
-    except ImportError:
-        from safetensors import safe_open  # torch fallback
-
+                    yield key, f.get_tensor(key)
+    else:
         import torch
+        from safetensors import safe_open  # torch path handles bf16 shards
 
         for fn in files:
             with safe_open(fn, framework="pt", device="cpu") as f:
                 for key in f.keys():
-                    tensors[key] = f.get_tensor(key).to(torch.float32).numpy()
+                    yield key, f.get_tensor(key).to(torch.float32).numpy()
+
+
+def convert_hf_checkpoint(hf_dir: str, init_params, dtype=np.float32):
+    """Overlay HF CogVideoX weights onto an initialized param pytree (TTT
+    params keep their init). Returns the updated (plain-dict) pytree.
+    Source tensors are streamed shard-by-shard (see _iter_hf_tensors)."""
+    import jax
 
     params = jax.tree.map(np.asarray, jax.device_get(init_params))
     # unfreeze to plain dicts
     params = jax.tree_util.tree_map(lambda x: x, params)
 
     n_mapped = 0
-    for key, value in tensors.items():
+    for key, value in _iter_hf_tensors(hf_dir):
         mapped = map_hf_tensor(key, value.astype(dtype))
         if mapped is None:
             continue
@@ -142,6 +159,6 @@ def convert_hf_checkpoint(hf_dir: str, init_params, dtype=np.float32):
         assert node[path[-1]].shape == arr.shape, (
             f"shape mismatch at {'/'.join(path)}: {node[path[-1]].shape} vs {arr.shape}"
         )
-        node[path[-1]] = arr
+        node[path[-1]] = np.ascontiguousarray(arr)
         n_mapped += 1
     return params, n_mapped

@@ -28,18 +28,21 @@ def _rel_err(a, b) -> float:
     return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8))
 
 
-def kernel_selftest(log: Optional[Callable[[str], None]] = None) -> dict:
+def kernel_selftest(log: Optional[Callable[[str], None]] = None, interpret: bool = False) -> dict:
     """Run the compiled-mode discriminators on the current default device.
 
     Returns {"ok": bool, "checks": {name: rel_err}}. Tolerances: on-chip both
     sides execute every matmul at bf16 precision, so grads get 2e-2 and
-    forwards 2e-4 (see scripts/tpu_smoke.py history).
+    forwards 2e-4 (see scripts/tpu_smoke.py history). ``interpret=True`` runs
+    the kernels in the Pallas interpreter (CPU) — used by the test suite to
+    validate the selftest harness itself; the splash check needs real
+    hardware and is skipped there.
     """
     import jax
     import jax.numpy as jnp
 
     from ttt_video_dit_tpu.ops import ttt_scan
-    from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel, ttt_mlp_kernel
+    from ttt_video_dit_tpu.ops.pallas import ttt_vjp
 
     checks: dict[str, float] = {}
     ok = True
@@ -64,16 +67,18 @@ def kernel_selftest(log: Optional[Callable[[str], None]] = None) -> dict:
     W1m, b1m = f(B, H, F, 4 * F) * 0.02, f(B, H, 1, 4 * F) * 0.01
     W2m, b2m = f(B, H, 4 * F, F) * 0.02, f(B, H, 1, F) * 0.01
 
+    kern_lin = lambda *a: ttt_vjp.ttt_linear_fused(K, interpret, True, *a)
+    kern_mlp = lambda *a: ttt_vjp.ttt_mlp_fused(K, interpret, True, *a)
     for name, kern, oracle, args, nc in (
-        ("ttt_linear full", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 4),
-        ("ttt_linear ragged", ttt_linear_kernel.ttt_linear, ttt_scan.ttt_linear, (W1l, b1l), 5),
-        ("ttt_mlp full", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 4),
-        ("ttt_mlp ragged", ttt_mlp_kernel.ttt_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 5),
+        ("ttt_linear full", kern_lin, ttt_scan.ttt_linear, (W1l, b1l), 4),
+        ("ttt_linear ragged", kern_lin, ttt_scan.ttt_linear, (W1l, b1l), 5),
+        ("ttt_mlp full", kern_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 4),
+        ("ttt_mlp ragged", kern_mlp, ttt_scan.ttt_mlp, (W1m, b1m, W2m, b2m), 5),
     ):
         q, k, v, e = XQ[:, :, :nc], XK[:, :, :nc], XV[:, :, :nc], eta[:, :, :nc]
 
         def loss_k(q, k, v):
-            return jnp.sum(kern(q, k, v, e, lnw, lnb, *args, K) ** 2)
+            return jnp.sum(kern(q, k, v, e, lnw, lnb, *args) ** 2)
 
         def loss_o(q, k, v):
             return jnp.sum(oracle(q, k, v, e, lnw, lnb, *args, K) ** 2)
@@ -83,6 +88,53 @@ def kernel_selftest(log: Optional[Callable[[str], None]] = None) -> dict:
         check(f"{name} fwd", got[0], want[0], 2e-4)
         for g, w, nm in zip(got[1], want[1], ("dq", "dk", "dv")):
             check(f"{name} {nm}", g, w, 2e-2)
+
+    # Fused eta gate: kernel takes pre-sigmoid logits + eta_scale (fused-
+    # preproc mode with rope tables); oracle applies sigmoid*scale in XLA.
+    from ttt_video_dit_tpu.ops.rope import interleaved_tables_prefixed, precompute_rope_3d
+
+    gate = f(B, H, NC, CS)
+    scale = 0.1 / F / CS
+    stl = CS  # one text mini-batch, then video slots
+    cos, sin = precompute_rope_3d(F, 8, 8, (NC * CS - stl) // 64 + 1)
+    cos_il, sin_il = interleaved_tables_prefixed(cos, sin, stl, NC * CS)
+    rc = jnp.asarray(cos_il.reshape(NC, CS, F))
+    rs = jnp.asarray(sin_il.reshape(NC, CS, F))
+
+    def _xla_pre(XQr, XKr, XVr):
+        l2n = lambda x: x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        rope = lambda x: (x.reshape(B, H, NC, CS, F) * rc + _pair_swap(x.reshape(B, H, NC, CS, F)) * rs)
+        XQp, XKp = rope(l2n(XQr)), rope(l2n(XKr))
+        t = XVr.reshape(B, H, NC, CS, F) - XKp
+        mu = jnp.mean(t, -1, keepdims=True)
+        var = jnp.var(t, -1, keepdims=True) * (F / (F - 1))
+        th = (t - mu) / (jnp.sqrt(var) + 1e-8)
+        XVp = lnw[None, :, None, None] * th + lnb[None, :, None, None] + XKp
+        return XQp, XKp, XVp
+
+    def _pair_swap(x):
+        x2 = x.reshape(*x.shape[:-1], F // 2, 2)
+        return jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+
+    def gate_loss_k(q, k, v, g_):
+        out = ttt_vjp.ttt_mlp_fused_pre(K, interpret, scale, q, k, v, g_, rc, rs,
+                                        lnw, lnb, W1m, b1m, W2m, b2m)
+        return jnp.sum(out ** 2)
+
+    def gate_loss_o(q, k, v, g_):
+        XQp, XKp, XVp = _xla_pre(q, k, v)
+        e = jax.nn.sigmoid(g_) * scale
+        out = ttt_scan.ttt_mlp(XQp, XKp, XVp, e, lnw, lnb, W1m, b1m, W2m, b2m, K)
+        return jnp.sum(out ** 2)
+
+    got = jax.jit(jax.value_and_grad(gate_loss_k, argnums=(0, 3)))(XQ, XK, XV, gate)
+    want = jax.jit(jax.value_and_grad(gate_loss_o, argnums=(0, 3)))(XQ, XK, XV, gate)
+    check("ttt_mlp eta-gate fwd", got[0], want[0], 2e-4)
+    check("ttt_mlp eta-gate dq", got[1][0], want[1][0], 2e-2)
+    check("ttt_mlp eta-gate dgate", got[1][1], want[1][1], 2e-2)
+
+    if interpret:
+        return {"ok": ok, "checks": checks}  # splash needs real hardware
 
     # Folded-window splash vs per-window naive attention (bf16 on chip).
     from ttt_video_dit_tpu.ops.attention import _splash_padded
