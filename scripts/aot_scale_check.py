@@ -113,7 +113,9 @@ def build_topology_mesh(chip: str, rep: int, fsdp: int, tp: int):
         topo = topologies.get_topology_desc(f"v5p:{grid}", platform="tpu", num_slices=1)
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_device_mesh((rep, fsdp, tp), list(topo.devices))
+        arr = mesh_utils.create_device_mesh(
+            (rep, fsdp, tp), list(topo.devices), allow_split_physical_axes=True
+        )
         mesh = jax.sharding.Mesh(arr, ("replica", "fsdp", "tensor"))
         return topo, mesh, f"v5p {grid}"
     raise ValueError(f"unknown chip {chip}")
@@ -293,6 +295,7 @@ def main():
     if args.all:
         jobs = [
             ("configs/train/ttt-mlp/3s.toml", "v5e", None),  # rep8 x fsdp8 = v5e-64
+            ("configs/train/ttt-mlp/3s.toml", "v5p", None),  # same shape on v5p-64
             ("configs/train/ttt-mlp/63s.toml", "v5e", None),  # 16 x 4 x tp4 = v5e-256
             ("configs/train/ttt-mlp/63s.toml", "v5p", (4, 4, 4)),  # north star: v5p-64
         ]

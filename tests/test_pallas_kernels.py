@@ -293,6 +293,27 @@ def test_fused_eta_gate_linear_matches_composed_oracle(rng):
     np.testing.assert_allclose(np.asarray(g_gate), np.asarray(g_ref), rtol=0, atol=3e-5 * scale_a)
 
 
+def test_head_group_picks_are_tiling_legal():
+    """Both group pickers must return G with num_heads % G == 0 and
+    (G % 8 == 0 or G == num_heads): the eta/deta blocks are [.., G, CS], so
+    Mosaic requires the sublane dim be a multiple of 8 or the full array dim.
+    Regression: H=48 under tp=4 (12 local heads) used to pick G=6 in the
+    backward and fail Pallas lowering in the 63 s pod-config AOT compile."""
+    from ttt_video_dit_tpu.ops.pallas.ttt_backward import pick_bwd_head_group
+    from ttt_video_dit_tpu.ops.pallas.ttt_forward import pick_head_group
+
+    for h in (1, 2, 4, 6, 8, 12, 16, 24, 40, 48, 96):
+        for mlp in (True, False):
+            gf = pick_head_group(h, 64, mlp)
+            gb = pick_bwd_head_group(h, 64, 16, 64, mlp)
+            for name, g in (("fwd", gf), ("bwd", gb)):
+                assert h % g == 0 and (g % 8 == 0 or g == h), f"{name} H={h} mlp={mlp} -> G={g}"
+    # The measured-optimal picks must be preserved.
+    assert pick_bwd_head_group(16, 64, 16, 64, True) == 8
+    assert pick_bwd_head_group(48, 64, 16, 64, True) == 8
+    assert pick_bwd_head_group(12, 64, 16, 64, True) == 12  # tp=4 local heads
+
+
 def test_kernel_selftest_harness(rng):
     """The bench/tpu_smoke hardware selftest must itself be sound: in
     interpret mode every discriminator (incl. the fused eta-gate one) passes

@@ -638,10 +638,13 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
     """Head group sized so the bf16 state stash + pipelined IO blocks fit in
     VMEM (limit raised to 100 MB; 48 MB budget leaves pipelining headroom).
 
-    Unlike the forward kernel, no block here has the head group in its
-    trailing two dims, so G only needs to divide num_heads. Measured v5e
-    (16 heads, K=16, CS=64, F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms;
-    G=16 fails to compile (VMEM), hence the hard cap at 8."""
+    The eta/deta blocks are [.., G, CS], so TPU tiling constrains G exactly
+    like the forward kernel: G must be a multiple of 8 OR equal num_heads
+    (a G=6 pick at 12 local heads — H=48 under tp=4 — failed Pallas lowering
+    in the 63 s pod-config AOT compile). Measured v5e (16 heads, K=16, CS=64,
+    F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms; G=16 fails to compile (VMEM),
+    hence the preference cap at 8 — `num_heads` itself is allowed past the
+    cap when it is the only tiling-legal choice that fits the budget."""
     if mlp:
         # W1/W2 stash bf16, b stashes fp32 8-row compressed.
         stash = K * (2 * head_dim * 4 * head_dim * 2 + 8 * 4 * head_dim * 4 + 8 * head_dim * 4)
@@ -649,10 +652,17 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
         stash = K * (head_dim * head_dim * 2 + 8 * head_dim * 4)
     io = 2 * 9 * K * CS * head_dim * 2  # 5 in + 4 out blocks, double-buffered, bf16
     budget = 48 * 1024 * 1024
-    g = max(1, min(num_heads, 8, budget // max(stash + io, 1)))
-    while g > 1 and num_heads % g != 0:
-        g -= 1
-    return g
+    cap = budget // max(stash + io, 1)
+    valid = [g for g in range(1, num_heads + 1)
+             if num_heads % g == 0 and (g % 8 == 0 or g == num_heads)]
+    preferred = [g for g in valid if g <= min(cap, 8)]
+    if preferred:
+        return max(preferred)
+    # No multiple-of-8 divisor fits under the cap: take num_heads itself if
+    # the budget allows (e.g. 12 local heads, 42.8 MB), else the smallest
+    # legal choice and rely on the 100 MB compiler limit's headroom.
+    in_budget = [g for g in valid if g <= max(cap, 1)]
+    return max(in_budget) if in_budget else min(valid)
 
 
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
