@@ -51,6 +51,33 @@ def test_splash_residual_names_in_grad_jaxpr(monkeypatch, rng):
     assert "splash_residuals" in jaxpr
 
 
+@pytest.mark.parametrize("policy_on", [True, False])
+def test_splash_grads_under_checkpoint(monkeypatch, rng, policy_on):
+    """Splash attention inside jax.checkpoint (with and without the save_seq
+    policy): values and grads must match the un-rematted call. Regression for
+    a tracer leak — the token-major splash custom_vjp must thread the mask
+    infos through its residuals, not its closure, or the remat replay escapes
+    the checkpoint trace (UnexpectedTracerError seen on the 30 s d1024
+    --remat layer TPU bench)."""
+    monkeypatch.setattr(attn_mod, "_INTERPRET", True)
+    attn_mod._splash_spec.cache_clear()
+    B, S, H, F, block = 1, 256, 2, 128, 256
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, F)), jnp.float32) for _ in range(3)
+    )
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "splash_residuals", "ttt_residuals", "ttt_out"
+    ) if policy_on else None
+
+    def loss(q, k, v):
+        return jnp.sum(attn_mod._splash_padded(q, k, v, block) ** 2)
+
+    g_plain = jax.grad(loss, (0, 1, 2))(q, k, v)
+    g_remat = jax.grad(jax.checkpoint(loss, policy=policy), (0, 1, 2))(q, k, v)
+    for a, b in zip(g_plain, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
 def test_policy_saves_kernel_residuals_under_checkpoint(rng):
     """jax.checkpoint(policy=save_seq-names) around an interpret-mode fused
     TTT call: gradients are identical to the un-rematted call (the policy

@@ -10,12 +10,15 @@ these are pure reshape/concat ops under jit.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ttt_video_dit_tpu.models.sequence import SequenceMetadata
 
 
-def interleave(x, meta: SequenceMetadata, reverse: bool = False):
+def _interleave_impl(x, meta: SequenceMetadata, reverse: bool = False):
     """[..., L, E] with L = seq_text_length + num_video_tokens, laid out as
     [text_0..text_{C-1}, video] -> [text_0, video_0, ..., text_{C-1}, video_{C-1}].
 
@@ -63,7 +66,7 @@ def interleave(x, meta: SequenceMetadata, reverse: bool = False):
     return jnp.concatenate(pieces, axis=-2)
 
 
-def undo_interleave(x, meta: SequenceMetadata, reverse: bool = False):
+def _undo_interleave_impl(x, meta: SequenceMetadata, reverse: bool = False):
     """Inverse of :func:`interleave` for the same ``reverse`` flag
     (reference: ttt/models/ssm/ttt_layer.py:188-217); with ``reverse=True``
     the output is back in the ORIGINAL [text_0..text_{C-1}, video] layout."""
@@ -94,6 +97,49 @@ def undo_interleave(x, meta: SequenceMetadata, reverse: bool = False):
         # slice; reading scenes back-to-front restores original order.
         texts, videos = texts[::-1], videos[::-1]
     return jnp.concatenate(texts + videos, axis=-2)
+
+
+# interleave / undo_interleave are exact inverse PERMUTATIONS of the token
+# axis, so each one's VJP is the other applied to the cotangent. Left to
+# autodiff, XLA transposes the concat-of-slices into a sum of ~2C padded
+# cotangents ("pad_add" fusions — ~30 ms/step at the 21-scene 63 s geometry,
+# plus the grad reductions they entangle with); the custom VJP replaces that
+# with the inverse's clean slice/flip/concat pass. Values and gradients are
+# bit-identical (a permutation's transpose IS its inverse).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def interleave(x, meta: SequenceMetadata, reverse: bool = False):
+    return _interleave_impl(x, meta, reverse)
+
+
+def _interleave_fwd(x, meta, reverse):
+    return _interleave_impl(x, meta, reverse), None
+
+
+def _interleave_bwd(meta, reverse, _, g):
+    return (_undo_interleave_impl(g, meta, reverse),)
+
+
+interleave.defvjp(_interleave_fwd, _interleave_bwd)
+interleave.__doc__ = _interleave_impl.__doc__
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def undo_interleave(x, meta: SequenceMetadata, reverse: bool = False):
+    return _undo_interleave_impl(x, meta, reverse)
+
+
+def _undo_interleave_fwd(x, meta, reverse):
+    return _undo_interleave_impl(x, meta, reverse), None
+
+
+def _undo_interleave_bwd(meta, reverse, _, g):
+    return (_interleave_impl(g, meta, reverse),)
+
+
+undo_interleave.defvjp(_undo_interleave_fwd, _undo_interleave_bwd)
+undo_interleave.__doc__ = _undo_interleave_impl.__doc__
 
 
 def reverse_text_chunks(text, num_chunks: int):

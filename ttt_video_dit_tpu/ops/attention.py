@@ -227,17 +227,83 @@ _INTERPRET = False
 
 
 def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, fwd_lean: bool = False, bwd_lean: bool = False):
+    """Splash call with TOKEN-MAJOR saved residuals: (q, k, v) [H, S, F] ->
+    out [S, H*F].
+
+    The library's own residual_checkpoint_name tags the kernel-layout out
+    [H, S, F]; saved across a remat boundary that buffer HBM-tiles at
+    T(8,128) with the head_dim-64 lane dim padded to 128 — pure 2x padding
+    (the 63 s/3 s pod-scale AOT memory analysis showed an 8.86 GB stacked
+    save that is 4.43 GB of padding at 42 layers). Instead this wrapper owns
+    the custom VJP: it tags a [S, H*F] reshape of out (lanes full for every
+    real config) plus the [H, S] logsumexp under "splash_residuals", stashes
+    exactly (q, k, v, out_tm, lse), and hands the rebuilt kernel-layout
+    residuals to the library backward (same Pallas dq/dkv kernels, same
+    block config). Under the save_seq policy (models/dit/dit.py:_ckpt_policy)
+    the splash forward is then DCE'd from a rematted layer's backward —
+    q/k/v rebuild from the cheap dense projections — and the saved buffer is
+    unpadded. Inert without a policy naming it.
+
+    Reference parity note: the reference re-runs flash-attention fwd inside
+    its checkpointed blocks (ttt/models/cogvideo/dit.py:196-198 under
+    torch.utils.checkpoint); this is the TPU-shaped improvement on that."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
     mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, fwd_lean, bwd_lean)
-    # residual_checkpoint_name tags the kernel's residuals (out + logsumexp)
-    # so the save_seq remat policy (models/dit/dit.py:_ckpt_policy) can keep
-    # them: the splash forward is then never recomputed in the backward pass
-    # of a rematted layer (q/k/v residuals are rebuilt from the cheap dense
-    # projections instead). Inert without a policy naming it.
-    return splash.make_splash_mha(
+    res_kernel = splash.make_splash_mha(
         mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs, interpret=_INTERPRET,
-        residual_checkpoint_name="splash_residuals",
+        save_residuals=True,
+    )
+    kw = res_kernel.kwargs  # statics only: block sizes / mask fn / flags
+
+    def to_tm(out):  # [H, S, F] -> [S, H*F]
+        h, s, f = out.shape
+        return jnp.transpose(out, (1, 0, 2)).reshape(s, h * f)
+
+    def to_hm(out_tm, H):  # [S, H*F] -> [H, S, F]
+        s, hf = out_tm.shape
+        return jnp.transpose(out_tm.reshape(s, H, hf // H), (1, 0, 2))
+
+    # The mask infos are ARGUMENTS of the custom_vjp, never closure: their
+    # jnp arrays are created at trace time, and a closed-over copy replayed
+    # by a remat backward escapes the dead checkpoint trace
+    # (UnexpectedTracerError on any `--remat layer` run) — the library
+    # threads them through its own custom_vjp positions for the same reason
+    # (splash_attention_kernel.py:_splash_attention_custom's comment).
+    @jax.custom_vjp
+    def call(fwd_mi, dq_mi, dkv_mi, q, k, v):
+        # Primal twin without the logsumexp output: pure-forward callers
+        # (sampling) skip the [H, S, lanes] f32 lse write the residual
+        # kernel does.
+        primal = splash.SplashAttentionKernel(fwd_mi, dq_mi, dkv_mi,
+                                              **{**kw, "save_residuals": False})
+        return to_tm(primal(q, k, v))
+
+    def call_fwd(fwd_mi, dq_mi, dkv_mi, q, k, v):
+        k_res = splash.SplashAttentionKernel(fwd_mi, dq_mi, dkv_mi, **kw)
+        out, (lse,) = k_res(q, k, v)
+        out_tm = jax.ad_checkpoint.checkpoint_name(to_tm(out), "splash_residuals")
+        lse = jax.ad_checkpoint.checkpoint_name(lse, "splash_residuals")
+        return out_tm, (q, k, v, out_tm, lse, dq_mi, dkv_mi)
+
+    def call_bwd(res, do_tm):
+        q, k, v, out_tm, lse, dq_mi, dkv_mi = res
+        H = q.shape[0]
+        # Library backward, called with the residual tuple its own custom_vjp
+        # stashes (jax/experimental/pallas/ops/tpu/splash_attention/
+        # splash_attention_kernel.py:_splash_attention_fwd) — grads land at
+        # the q/k/v positions of its 8-tuple return.
+        grads = splash._splash_attention_bwd(
+            False, kw["mask_value"], kw["is_mqa"], kw["block_sizes"], None,
+            kw["mask_function"], kw["attn_logits_soft_cap"], kw["interpret"],
+            (q, k, v, None, None, to_hm(out_tm, H), lse, dq_mi, dkv_mi),
+            to_hm(do_tm, H),
+        )
+        return None, None, None, grads[3], grads[4], grads[5]
+
+    call.defvjp(call_fwd, call_bwd)
+    return functools.partial(
+        call, res_kernel.fwd_mask_info, res_kernel.dq_mask_info, res_kernel.dkv_mask_info
     )
 
 
@@ -281,8 +347,10 @@ def _splash(q, k, v, conservative: bool = False, windows: int = 1, param_count: 
     # [B*C, S, H, F] -> [B*C, H, S, F] -> [B, C*H, S, F] (the reshape is
     # free: C and H are adjacent after the transpose).
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, S, F)
-    out = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
-    return jnp.transpose(out.reshape(BC, H, S, F), (0, 2, 1, 3))
+    out_tm = jax.vmap(kernel)((to_hsd(q) * scale).astype(q.dtype), to_hsd(k), to_hsd(v))
+    # token-major [B, S, (C H F)] -> [B*C, S, H, F]
+    out = jnp.transpose(out_tm.reshape(B, S, windows, H * F), (0, 2, 1, 3))
+    return out.reshape(BC, S, H, F)
 
 
 def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int = 1,
@@ -304,8 +372,9 @@ def _splash_padded(q, k, v, block: int, conservative: bool = False, windows: int
     kernel = _splash_kernel(Sp, Ht, S, fused, _bwd_block(B), conservative, bwd_lean)
     scale = 1.0 / (F**0.5)
     to_hsd = lambda t: jnp.transpose(t, (0, 2, 1, 3)).reshape(B, Ht, Sp, F)
-    out = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
-    return jnp.transpose(out.reshape(BC, H, Sp, F), (0, 2, 1, 3))[:, :S]
+    out_tm = jax.vmap(kernel)((to_hsd(qp) * scale).astype(q.dtype), to_hsd(kp), to_hsd(vp))
+    out = jnp.transpose(out_tm.reshape(B, Sp, windows, H * F), (0, 2, 1, 3))
+    return out.reshape(BC, Sp, H, F)[:, :S]
 
 
 def attention(q, k, v, conservative: bool = False, windows: int = 1, param_count: int = 0,
