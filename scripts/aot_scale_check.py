@@ -142,7 +142,11 @@ def count_collectives(hlo: str) -> dict:
 
 
 def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
-              overrides: list[str] | None = None) -> dict:
+              overrides: list[str] | None = None, layers: int | None = None) -> dict:
+    """``layers`` overrides the preset depth AFTER config resolution (the CI
+    test compiles the real 63 s stage config at 2 layers so the topology
+    compile stays minutes, not tens of minutes — every sharding rule, kernel
+    and collective is depth-independent)."""
     from ttt_video_dit_tpu.config.job_config import JobConfig
     from ttt_video_dit_tpu.config.model_config import ModelConfig
     from ttt_video_dit_tpu.models.dit.diffusion import CogVideoX
@@ -158,6 +162,8 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
     topo, mesh, topo_desc = build_topology_mesh(chip, rep, fsdp, tp)
 
     cfg = ModelConfig.get_preset(job.model.size, job.model.video_length, job)
+    if layers is not None:
+        cfg.num_layers = layers
     model = CogVideoX(cfg)
     tl = _synthetic_text_length(cfg)
     global_bs = job.training.global_batch_size
@@ -248,10 +254,15 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
         # Unpadded HLO-temp figure, when present, separates real demand from
         # HBM tiling padding.
         mu = re.search(r"Unpadded \(([\d.]+)G\)", oom)
+        alloc = oom.find("Largest program allocations")
         return dict(
             base, fits=False, oom=True, used_gib=used,
             temp_unpadded_gib=float(mu.group(1)) if mu else None,
-            oom_top=oom[oom.find("Largest program allocations"):][:600],
+            # Keep the exception head too: OOM formats vary (hbm vs vmem,
+            # allocator reports without an allocations table), and a
+            # 74-minute compile whose finding reduces to "." is a rerun.
+            oom_head=oom[:600],
+            oom_top=oom[alloc:][:600] if alloc >= 0 else "",
         )
 
     ma = compiled.memory_analysis()
@@ -289,6 +300,8 @@ def main():
     ap.add_argument("--all", action="store_true", help="run the standard stage matrix")
     ap.add_argument("--json", default=None, help="append JSON rows to this file")
     ap.add_argument("-o", "--override", action="append", default=[], help="extra --section.field args")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override preset depth (CI-speed compiles of the real configs)")
     args = ap.parse_args()
 
     jobs = []
@@ -307,7 +320,7 @@ def main():
     rows = []
     for config_file, chip, par in jobs:
         print(f"== AOT {config_file} on {chip} par={par or 'from-config'} ...", flush=True)
-        row = aot_check(config_file, chip, par, overrides=list(args.override))
+        row = aot_check(config_file, chip, par, overrides=list(args.override), layers=args.layers)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

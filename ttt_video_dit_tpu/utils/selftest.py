@@ -153,4 +153,16 @@ def kernel_selftest(log: Optional[Callable[[str], None]] = None, interpret: bool
     want = jax.jit(naive)(q, k, v)
     check("splash folded-windows fwd", got, want, 2e-2)
 
+    # Splash BACKWARD on hardware: the token-major residual wrapper
+    # (ops/attention.py:_splash_kernel) hands rebuilt head-major residuals to
+    # the library's dq/dkv Pallas kernels — these grads are the evidence that
+    # handoff is wired right on the compiled path, not just in interpret mode.
+    ct = jnp.asarray(rng.standard_normal((C, S, Ha, 64)), jnp.float32)
+    loss_s = lambda q, k, v: jnp.sum(_splash_padded(q, k, v, block=2048, windows=C).astype(jnp.float32) * ct)
+    loss_n = lambda q, k, v: jnp.sum(naive(q, k, v) * ct)
+    gs = jax.jit(jax.grad(loss_s, (0, 1, 2)))(q, k, v)
+    gn = jax.jit(jax.grad(loss_n, (0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gs, gn):
+        check(f"splash folded-windows {name}", a, b, 3e-2)
+
     return {"ok": ok, "checks": checks}
