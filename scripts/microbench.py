@@ -131,6 +131,82 @@ def bench_ttt_k_sweep(iters, heads: int = 48):
                 print(f"ttt-mlp K={K:2d} bwd G={G:2d}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
 
 
+def bench_ttt_token_major(iters, heads: int = 48):
+    """Token-major kernel IO vs the head-grouped layout at the flagship
+    geometry: (a) kernel alone in each layout, (b) the real pipeline cost —
+    token-major stream in/out with the head-major kernel paying its moveaxis
+    relayouts vs the token-major kernel paying its in-register transposes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ttt_video_dit_tpu.ops.pallas import ttt_forward
+
+    B, H, CS, F = 1, heads, 64, 64
+    NC = 18048 // CS
+    K = 6
+    NCp = NC + ((-NC) % K)
+    L = NCp * CS
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    Xtm = [mk(B, NCp, CS, H * F) for _ in range(3)]
+    eta = jnp.asarray(np.abs(rng.standard_normal((B, H, NCp, CS))) * 0.01, jnp.bfloat16)
+    ln_w, ln_b = jnp.ones((H, F), jnp.float32), jnp.zeros((H, F), jnp.float32)
+    W1 = jnp.asarray(rng.standard_normal((B, H, F, 4 * F)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((B, H, 1, 4 * F), jnp.float32)
+    W2 = jnp.asarray(rng.standard_normal((B, H, 4 * F, F)) * 0.02, jnp.float32)
+    b2 = jnp.zeros((B, H, 1, F), jnp.float32)
+    to_hm = lambda x: jnp.moveaxis(x.reshape(B, NCp, CS, H, F), 3, 1)  # -> [B,H,NC,CS,F]
+    to_tm = lambda x: jnp.moveaxis(x, 1, 3).reshape(B, NCp, CS, H * F)
+
+    run = lambda *a: ttt_forward.ttt_mlp_forward(*a, ln_w, ln_b, W1, b1, W2, b2, K, head_group=16)
+
+    hm_in = [to_hm(x) for x in Xtm]
+    f_hm = jax.jit(lambda q, k, v, e: run(q, k, v, e)[0])
+    f_tm = jax.jit(lambda q, k, v, e: ttt_forward.ttt_mlp_forward(
+        q, k, v, e, ln_w, ln_b, W1, b1, W2, b2, K, head_group=16, token_major=True)[0])
+    # End-to-end: token-major stream -> kernel -> token-major stream.
+    f_hm_pipe = jax.jit(lambda q, k, v, e: to_tm(run(to_hm(q), to_hm(k), to_hm(v), e)[0]))
+
+    for tag, fn, args in (
+        ("mlp fwd head-major (kernel only)", f_hm, (*hm_in, eta)),
+        ("mlp fwd token-major (kernel only)", f_tm, (*Xtm, eta)),
+        ("mlp fwd head-major + relayouts  ", f_hm_pipe, (*Xtm, eta)),
+    ):
+        try:
+            t = timeit(fn, args, iters)
+            print(f"{tag}: {t*1e3:7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+    # Full fused VJP (fwd+bwd) through the production fused-preproc path, in
+    # both layouts, token-major stream in/out (what the layer actually runs).
+    from ttt_video_dit_tpu.ops.pallas import ttt_vjp
+    from ttt_video_dit_tpu.ops.rope import interleaved_tables_prefixed, precompute_rope_3d
+
+    stl = CS
+    cos, sin = precompute_rope_3d(F, 30, 45, (L - stl) // 1350 + 1)
+    ci, si = interleaved_tables_prefixed(cos, sin, stl, L)
+    rc, rs = jnp.asarray(ci.reshape(NCp, CS, F)), jnp.asarray(si.reshape(NCp, CS, F))
+    scale = 0.1 / F / CS
+    gate = jnp.asarray(rng.standard_normal((B, H, NCp, CS)), jnp.float32)
+
+    loss_hm = lambda q, k, v, g_: jnp.sum(ttt_vjp.ttt_mlp_fused_pre(
+        K, False, scale, False, to_hm(q), to_hm(k), to_hm(v), g_, rc, rs,
+        ln_w, ln_b, W1, b1, W2, b2).astype(jnp.float32) ** 2)
+    loss_tm = lambda q, k, v, g_: jnp.sum(ttt_vjp.ttt_mlp_fused_pre(
+        K, False, scale, True, q, k, v, g_, rc, rs,
+        ln_w, ln_b, W1, b1, W2, b2).astype(jnp.float32) ** 2)
+    for tag, loss in (("mlp vjp head-major + relayouts  ", loss_hm),
+                      ("mlp vjp token-major             ", loss_tm)):
+        try:
+            fn = jax.jit(jax.grad(loss, (0, 1, 2, 3)))
+            t = timeit(lambda *a: fn(*a)[0], (*Xtm, gate), max(iters // 2, 3))
+            print(f"{tag}: {t*1e3:7.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
 def bench_ttt(iters, heads: int = 16):
     import jax
     import jax.numpy as jnp
@@ -309,7 +385,7 @@ def bench_ckpt(n_tensors: int = 120, mb_each: float = 4.0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "loader", "ckpt", "all"])
+    p.add_argument("--which", default="all", choices=["attn", "ttt", "ksweep", "tm", "loader", "ckpt", "all"])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--heads", type=int, default=16)
     args = p.parse_args()
@@ -326,6 +402,8 @@ def main():
         bench_ttt(args.iters, heads=args.heads)
     if args.which == "ksweep":
         bench_ttt_k_sweep(args.iters, heads=args.heads)
+    if args.which == "tm":
+        bench_ttt_token_major(args.iters, heads=args.heads)
     if args.which == "loader":
         bench_loader()
     if args.which == "ckpt":

@@ -113,11 +113,18 @@ def main():
     # kv18432 57.9 (spills), c512/c2048 worse. bwd q1024kv6144c1024 115.8
     # (also 3x smaller dQ-partials stack), q2048kv3072c1024 117.4x2,
     # q2048kv6144c1024 129 (bad). Round 3: confirm the finalists.
+    # Round 4: re-confirm at the 63 s folded-window geometry (--heads 84 =
+    # 21 windows x 4 heads; grid parallelism is per pseudo-head, so the
+    # flagship-tuned blocks may not be optimal there).
     build("A fwd q1024 kv9216 c1024 | bwd q1024 kv6144 c1024", True, 1024, 9216, 1024, 1024, 6144, 1024)
     build("B fwd q1024 kv6144 c1024 | bwd q1024 kv6144 c1024", True, 1024, 6144, 1024, 1024, 6144, 1024)
     build("C fwd q1024 kv9216 c1024 | bwd q2048 kv2048 c512 ", True, 1024, 9216, 1024, 2048, 2048, 512)
     build("D fwd q1024 kv9216 c1024 | bwd q1024 kv3072 c1024", True, 1024, 9216, 1024, 1024, 3072, 1024)
     build("E fwd q1024 kv9216 c1024 | bwd q1536 kv6144 c1024", True, 1024, 9216, 1024, 1536, 6144, 1024)
+    build("F fwd q1024 kv9216 c1024 | bwd q1024 kv9216 c1024", True, 1024, 9216, 1024, 1024, 9216, 1024)
+    build("G fwd q2048 kv9216 c1024 | bwd q1024 kv6144 c1024", True, 2048, 9216, 1024, 1024, 6144, 1024)
+    build("H fwd q1024 kv9216 c2048 | bwd q1024 kv6144 c2048", True, 1024, 9216, 2048, 1024, 6144, 2048)
+    build("I fwd q1024 kv18432 c1024 | bwd q1024 kv6144 c1024", True, 1024, 18432, 1024, 1024, 6144, 1024)
 
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ def test_fused_preproc_grads_match_composed_autodiff(rng, K):
         return jnp.sum(out * out)
 
     def pre_loss(a):
-        out = ttt_vjp.ttt_mlp_fused_pre(K, True, None, a[0], a[1], a[2], a[3], rope_cos, rope_sin,
+        out = ttt_vjp.ttt_mlp_fused_pre(K, True, None, False, a[0], a[1], a[2], a[3], rope_cos, rope_sin,
                                         a[4], a[5], a[6], a[7], a[8], a[9])
         return jnp.sum(out * out)
 
@@ -178,7 +178,7 @@ def test_fused_preproc_linear_matches_composed_oracle(rng):
 
     XQp, XKp, XVp = _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl)
     out_ref = ttt_scan.ttt_linear(XQp, XKp, XVp, eta, lnw, lnb, W1, b1, 3)
-    out_pre = ttt_vjp.ttt_linear_fused_pre(3, True, None, XQr, XKr, XVr, eta, rope_cos, rope_sin,
+    out_pre = ttt_vjp.ttt_linear_fused_pre(3, True, None, False, XQr, XKr, XVr, eta, rope_cos, rope_sin,
                                            lnw, lnb, W1, b1)
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
 
@@ -256,7 +256,7 @@ def test_fused_eta_gate_grads_match_composed_autodiff(rng, K):
         return jnp.sum(out * out)
 
     def gate_loss(a):
-        out = ttt_vjp.ttt_mlp_fused_pre(K, True, scale, a[0], a[1], a[2], a[3], rope_cos,
+        out = ttt_vjp.ttt_mlp_fused_pre(K, True, scale, False, a[0], a[1], a[2], a[3], rope_cos,
                                         rope_sin, a[4], a[5], a[6], a[7], a[8], a[9])
         return jnp.sum(out * out)
 
@@ -281,37 +281,74 @@ def test_fused_eta_gate_linear_matches_composed_oracle(rng):
     XQp, XKp, XVp = _xla_preproc(XQr, XKr, XVr, lnw, lnb, cos, sin, stl)
     eta = jax.nn.sigmoid(gate) * scale
     out_ref = ttt_scan.ttt_linear(XQp, XKp, XVp, eta, lnw, lnb, W1, b1, 3)
-    out_gate = ttt_vjp.ttt_linear_fused_pre(3, True, scale, XQr, XKr, XVr, gate, rope_cos,
+    out_gate = ttt_vjp.ttt_linear_fused_pre(3, True, scale, False, XQr, XKr, XVr, gate, rope_cos,
                                             rope_sin, lnw, lnb, W1, b1)
     np.testing.assert_allclose(np.asarray(out_gate), np.asarray(out_ref), rtol=2e-5, atol=2e-5)
 
     g_gate = jax.grad(lambda g_: jnp.sum(ttt_vjp.ttt_linear_fused_pre(
-        3, True, scale, XQr, XKr, XVr, g_, rope_cos, rope_sin, lnw, lnb, W1, b1) ** 2))(gate)
+        3, True, scale, False, XQr, XKr, XVr, g_, rope_cos, rope_sin, lnw, lnb, W1, b1) ** 2))(gate)
     g_ref = jax.grad(lambda g_: jnp.sum(ttt_scan.ttt_linear(
         XQp, XKp, XVp, jax.nn.sigmoid(g_) * scale, lnw, lnb, W1, b1, 3) ** 2))(gate)
     scale_a = max(float(jnp.max(jnp.abs(g_ref))), 1e-6)
     np.testing.assert_allclose(np.asarray(g_gate), np.asarray(g_ref), rtol=0, atol=3e-5 * scale_a)
 
 
+@pytest.mark.parametrize("K", [3, 4])
+def test_token_major_vjp_matches_head_major(rng, K):
+    """Token-major kernel IO ([B, NC, CS, H*F] — no moveaxis relayout, no
+    T(8,128) lane padding) must match the head-grouped layout for values and
+    every x/gate gradient, including the ragged group (K=4, NC=6). Measured
+    31% faster forward at the flagship geometry (microbench --which tm)."""
+    from ttt_video_dit_tpu.ops.rope import interleaved_tables_prefixed, precompute_rope_3d
+
+    args = _inputs(rng, mlp=True)
+    XQ, XK, XV, eta, lnw, lnb, W1, b1, W2, b2 = args
+    stl = 16
+    cos, sin = precompute_rope_3d(F, 4, 4, (NC * CS - stl) // 16 + 1)
+    ci, si = interleaved_tables_prefixed(cos, sin, stl, NC * CS)
+    rc, rs = jnp.asarray(ci.reshape(NC, CS, F)), jnp.asarray(si.reshape(NC, CS, F))
+    scale = 0.1 / F / CS
+    tm = lambda x: jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, NC, CS, H * F)
+
+    loss_hm = lambda q, k, v, g_: jnp.sum(ttt_vjp.ttt_mlp_fused_pre(
+        K, True, scale, False, q, k, v, g_, rc, rs, lnw, lnb, W1, b1, W2, b2) ** 2)
+    loss_tm = lambda q, k, v, g_: jnp.sum(ttt_vjp.ttt_mlp_fused_pre(
+        K, True, scale, True, tm(q), tm(k), tm(v), g_, rc, rs, lnw, lnb, W1, b1, W2, b2) ** 2)
+    v1, g1 = jax.value_and_grad(loss_hm, (0, 1, 2, 3))(XQ, XK, XV, eta)
+    v2, g2 = jax.value_and_grad(loss_tm, (0, 1, 2, 3))(XQ, XK, XV, eta)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)  # reassociation noise
+    for a, b, nm in zip(g1, g2, ("dq", "dk", "dv", "dgate")):
+        s = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=3e-5 * s, err_msg=nm)
+
+
 def test_head_group_picks_are_tiling_legal():
     """Both group pickers must return G with num_heads % G == 0 and
     (G % 8 == 0 or G == num_heads): the eta/deta blocks are [.., G, CS], so
     Mosaic requires the sublane dim be a multiple of 8 or the full array dim.
-    Regression: H=48 under tp=4 (12 local heads) used to pick G=6 in the
-    backward and fail Pallas lowering in the 63 s pod-config AOT compile."""
-    from ttt_video_dit_tpu.ops.pallas.ttt_backward import pick_bwd_head_group
+    The backward additionally caps G at the compile-proven 8 (G=12 and G=16
+    exceed the kernel's VMEM on v5e) — head counts with no legal group under
+    the cap (12 local heads = 48 global under tp=4) are UNSUPPORTED for the
+    fused backward and must gate to the non-fused path."""
+    from ttt_video_dit_tpu.ops.pallas.ttt_backward import fused_bwd_supported, pick_bwd_head_group
     from ttt_video_dit_tpu.ops.pallas.ttt_forward import pick_head_group
 
     for h in (1, 2, 4, 6, 8, 12, 16, 24, 40, 48, 96):
         for mlp in (True, False):
             gf = pick_head_group(h, 64, mlp)
+            assert h % gf == 0 and (gf % 8 == 0 or gf == h), f"fwd H={h} mlp={mlp} -> G={gf}"
+            if not fused_bwd_supported(h):
+                with pytest.raises(AssertionError):
+                    pick_bwd_head_group(h, 64, 16, 64, mlp)
+                continue
             gb = pick_bwd_head_group(h, 64, 16, 64, mlp)
-            for name, g in (("fwd", gf), ("bwd", gb)):
-                assert h % g == 0 and (g % 8 == 0 or g == h), f"{name} H={h} mlp={mlp} -> G={g}"
-    # The measured-optimal picks must be preserved.
+            assert h % gb == 0 and (gb % 8 == 0 or gb == h) and gb <= 8, f"bwd H={h} -> G={gb}"
+    # The measured-optimal picks must be preserved; tp=4's 12 local heads
+    # must be rejected (its only legal group, 12, fails to compile).
     assert pick_bwd_head_group(16, 64, 16, 64, True) == 8
     assert pick_bwd_head_group(48, 64, 16, 64, True) == 8
-    assert pick_bwd_head_group(12, 64, 16, 64, True) == 12  # tp=4 local heads
+    assert not fused_bwd_supported(12)
+    assert fused_bwd_supported(24) and fused_bwd_supported(6)
 
 
 def test_kernel_selftest_harness(rng):

@@ -147,7 +147,12 @@ class SSMGating(nn.Module):
             lambda key, shape: jnp.full(shape, self.config.gating_alpha_init, jnp.float32),
             (self.config.model_dim,),
         )
-        return (jnp.tanh(alpha) * x.astype(jnp.float32)).astype(x.dtype)
+        # tanh in f32 on the [D] param, multiply at the stream dtype: an
+        # x.astype(f32) here materializes a full f32 copy of the token stream
+        # (4 gate sites x 2 layers at 63 s = ~2.8 GB of traffic/step). The
+        # reference's autocast also runs this multiply in bf16
+        # (reference: dit.py:90-103 under torch.autocast).
+        return jnp.tanh(alpha).astype(x.dtype) * x
 
 
 class SegmentLocalAttention(nn.Module):

@@ -150,9 +150,9 @@ class TTTLayer(nn.Module):
         if permuted:
             hidden_states = interleave(hidden_states, meta, reverse)
 
-        XQ = self.wq(hidden_states).reshape(B, L, H, F)
-        XK = self.wk(hidden_states).reshape(B, L, H, F)
-        XV = self.wv(hidden_states).reshape(B, L, H, F)
+        XQ = self.wq(hidden_states)  # [B, L, D]
+        XK = self.wk(hidden_states)
+        XV = self.wv(hidden_states)
 
         cos, sin = precompute_rope_3d(F, meta.grid_height, meta.grid_width, meta.num_frames, cfg.rope_theta)
 
@@ -160,14 +160,33 @@ class TTTLayer(nn.Module):
         # rope + LN-reconstruction-target (and their backward) on the raw
         # projections; outside-XLA preprocessing costs ~100 ms/step in
         # elementwise passes + layout copies at the 3 s d3072 geometry.
-        fuse_pre = cfg.use_kernel and cfg.use_fused_backward and cfg.fuse_ttt_preproc
+        # The fused backward (and with it the fused preproc) requires a
+        # tiling-legal head group <= 8 at the PER-SHARD head count — 12 local
+        # heads (48 under tp=4) has none and falls back to the non-fused
+        # path (ops/pallas/ttt_backward.py:fused_bwd_supported).
+        from ttt_video_dit_tpu.ops.pallas.sharded import local_head_count
+        from ttt_video_dit_tpu.ops.pallas.ttt_backward import fused_bwd_supported
+
+        fused_ok = fused_bwd_supported(local_head_count(H))
+        fuse_pre = (cfg.use_kernel and cfg.use_fused_backward and cfg.fuse_ttt_preproc
+                    and fused_ok)
         if fuse_pre:
             from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel, ttt_mlp_kernel
 
             mod = ttt_linear_kernel if cfg.ssm_layer == "ttt_linear" else ttt_mlp_kernel
             fuse_pre = mod.is_supported((B, H, NC, CS, F))
 
-        if not fuse_pre:
+        if fuse_pre:
+            # TOKEN-MAJOR kernel IO: [B, L, D] -> [B, NC, CS, H*F] is a pure
+            # reshape (no moveaxis relayout, no T(8,128) lane padding on the
+            # kernel's HBM traffic — measured 31% faster forward at the
+            # flagship geometry, scripts/microbench.py --which tm).
+            to_tm = lambda x: x.reshape(B, NC, CS, H * F)
+            XQ, XK, XV = to_tm(XQ), to_tm(XK), to_tm(XV)
+        else:
+            XQ = XQ.reshape(B, L, H, F)
+            XK = XK.reshape(B, L, H, F)
+            XV = XV.reshape(B, L, H, F)
             # L2-normalize queries/keys over the head dim (torch F.normalize
             # parity: x / max(||x||_2, 1e-12), reference:
             # ttt/models/ssm/ttt_layer.py:265-266); rope by slot (identity
@@ -182,10 +201,9 @@ class TTTLayer(nn.Module):
             rope = lambda x: apply_rope(x, cos_s, sin_s, seq_axis=1)
             XQ, XK = rope(XQ), rope(XK)
             XV = self._ln_reconstruction_target(XV, XK)
-
-        # [B, L, H, F] -> [B, H, NC, CS, F]
-        to_mb = lambda x: jnp.moveaxis(x, 2, 1).reshape(B, H, NC, CS, F)
-        XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
+            # [B, L, H, F] -> [B, H, NC, CS, F]
+            to_mb = lambda x: jnp.moveaxis(x, 2, 1).reshape(B, H, NC, CS, F)
+            XQ, XK, XV = to_mb(XQ), to_mb(XK), to_mb(XV)
         # Fused-preproc kernels take the raw gate LOGITS and apply
         # sigmoid * eta_scale in-kernel (forward and backward) — the
         # elementwise eta pass and its VJP leave the XLA step program.
@@ -202,19 +220,28 @@ class TTTLayer(nn.Module):
             rope_sin = tabs[1].reshape(NC, CS, F)
 
         # Head sharding over the tensor axis (TP); batch over data axes.
-        XQ, XK, XV = (maybe_shard(x, DATA, TENSOR, None, None, None) for x in (XQ, XK, XV))
+        # Token-major tensors carry heads in the LAST axis.
+        if fuse_pre:
+            XQ, XK, XV = (maybe_shard(x, DATA, None, None, TENSOR) for x in (XQ, XK, XV))
+        else:
+            XQ, XK, XV = (maybe_shard(x, DATA, TENSOR, None, None, None) for x in (XQ, XK, XV))
         eta = maybe_shard(eta, DATA, TENSOR, None, None)
 
         group = min(max(cfg.scan_checkpoint_group_size, 1), NC)
         tile = lambda p: jnp.broadcast_to(p[None], (B,) + p.shape)
 
         if cfg.ssm_layer == "ttt_linear":
-            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale)
+            XQW = self._ttt_linear(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale,
+                                   fused_ok, token_major=fuse_pre)
         else:
-            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale)
+            XQW = self._ttt_mlp(XQ, XK, XV, eta, tile, group, rope_cos, rope_sin, eta_scale,
+                                fused_ok, token_major=fuse_pre)
 
-        # [B, H, NC, CS, F] -> [B, L, H*F]
-        out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
+        if fuse_pre:
+            out = XQW.reshape(B, L, H * F)  # pure reshape of the token-major output
+        else:
+            # [B, H, NC, CS, F] -> [B, L, H*F]
+            out = jnp.moveaxis(XQW.reshape(B, H, L, F), 1, 2).reshape(B, L, H * F)
 
         # Saveable under the save_seq remat policy: with this output AND the
         # state checkpoints ("ttt_residuals", ops/pallas/ttt_vjp.py) kept, the
@@ -240,16 +267,17 @@ class TTTLayer(nn.Module):
         return out
 
     def _ttt_linear(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None,
-                    eta_scale=None):
+                    eta_scale=None, fused_ok=True, token_major=False):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_linear_kernel
 
-            if ttt_linear_kernel.is_supported(XQ.shape):
+            if token_major or ttt_linear_kernel.is_supported(XQ.shape):
                 return ttt_linear_kernel.ttt_linear(
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), group,
-                    use_fused_bwd=self.config.use_fused_backward,
+                    use_fused_bwd=self.config.use_fused_backward and fused_ok,
                     rope_cos=rope_cos, rope_sin=rope_sin, eta_scale=eta_scale,
+                    token_major=token_major,
                 )
         assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_linear(
@@ -257,16 +285,17 @@ class TTTLayer(nn.Module):
         )
 
     def _ttt_mlp(self, XQ, XK, XV, eta, tile, group, rope_cos=None, rope_sin=None,
-                 eta_scale=None):
+                 eta_scale=None, fused_ok=True, token_major=False):
         if self.config.use_kernel:
             from ttt_video_dit_tpu.ops.pallas import ttt_mlp_kernel
 
-            if ttt_mlp_kernel.is_supported(XQ.shape):
+            if token_major or ttt_mlp_kernel.is_supported(XQ.shape):
                 return ttt_mlp_kernel.ttt_mlp(
                     XQ, XK, XV, eta, self.ttt_norm_weight, self.ttt_norm_bias,
                     tile(self.W1), tile(self.b1), tile(self.W2), tile(self.b2), group,
-                    use_fused_bwd=self.config.use_fused_backward,
+                    use_fused_bwd=self.config.use_fused_backward and fused_ok,
                     rope_cos=rope_cos, rope_sin=rope_sin, eta_scale=eta_scale,
+                    token_major=token_major,
                 )
         assert rope_cos is None, "fused preproc requires the Pallas kernel path"
         return ttt_scan.ttt_mlp(

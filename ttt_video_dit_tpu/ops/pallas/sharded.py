@@ -26,7 +26,19 @@ def _axis_if(mesh: Mesh, name: str, dim_size: int) -> Optional[str]:
     return None
 
 
-def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0):
+def local_head_count(H: int) -> int:
+    """Heads per shard the TTT kernels will actually see under the ambient
+    mesh — mirrors shard_mapped_ttt's tensor-axis decision. Feeds the
+    fused-backward support gate (ttt_backward.fused_bwd_supported): the
+    group-size legality depends on the LOCAL head count, not the global."""
+    mesh = current_mesh()
+    if mesh is not None and _axis_if(mesh, TENSOR, H):
+        return H // mesh.shape[TENSOR]
+    return H
+
+
+def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0,
+                     token_major: bool = False):
     """Wrap a TTT kernel call ``kernel_fn(XQ, XK, XV, eta, ln_w, ln_b,
     *states, *tables)`` in shard_map over the ambient mesh (no-op without
     one).
@@ -34,6 +46,8 @@ def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0):
     Batch shards over (replica, fsdp); heads over tensor. States are tiled
     per-batch [B, H, ...]; ln params are [H, F]; rope tables ([NC, CS, F],
     fused-preproc mode) are batch/head-independent and ride replicated.
+    With ``token_major``, x tensors are [B, NC, CS, H*F]: the head shard is
+    the LAST axis (whole heads per shard since tensor divides H).
     """
 
     def call(XQ, XK, XV, eta, ln_w, ln_b, *rest):
@@ -41,7 +55,7 @@ def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0):
         if mesh is None or all(mesh.shape[a] <= 1 for a in mesh.axis_names):
             return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *rest)
 
-        B, H = XQ.shape[0], XQ.shape[1]
+        B, H = XQ.shape[0], ln_w.shape[0]
         data = tuple(a for a in (REPLICA, FSDP) if _axis_if(mesh, a, B)) or None
         # Batch must divide across the *product* of data axes.
         if data is not None:
@@ -55,7 +69,7 @@ def shard_mapped_ttt(kernel_fn: Callable, n_states: int, n_tables: int = 0):
         if data is None and tp is None:
             return kernel_fn(XQ, XK, XV, eta, ln_w, ln_b, *rest)
 
-        x_spec = P(data, tp, None, None, None)
+        x_spec = P(data, None, None, tp) if token_major else P(data, tp, None, None, None)
         eta_spec = P(data, tp, None, None)
         ln_spec = P(tp, None)
         state_spec = P(data, tp, None, None)

@@ -30,6 +30,8 @@ from ttt_video_dit_tpu.ops.pallas.ttt_forward import (
     _rope_f32,
     _rot_matrix,
     _target_ln_f32,
+    _x_in,
+    _x_out,
 )
 
 
@@ -141,7 +143,7 @@ def _rope_vjp(u, cos, sin, R):
 # ------------------------------------------------------------------ MLP bwd
 
 
-def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
+def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
@@ -191,14 +193,14 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
     def load_step(i, need_q: bool):
         """Per-step (XQ, XK [dt], target f32) plus preproc residuals for the
         fused-preproc VJP (None when preproc runs outside the kernel)."""
-        XV = xv_ref[0, :, i]
+        XV = _x_in(xv_ref, tm, G_heads, i)
         if not pre:
-            XQ = xq_ref[0, :, i] if need_q else None
-            XK = xk_ref[0, :, i]
+            XQ = _x_in(xq_ref, tm, G_heads, i) if need_q else None
+            XK = _x_in(xk_ref, tm, G_heads, i)
             return XQ, XK, (XV - XK).astype(jnp.float32), None
         cos_i, sin_i = cos_ref[i], sin_ref[i]
-        xq_raw = xq_ref[0, :, i].astype(jnp.float32) if need_q else None
-        xk_raw = xk_ref[0, :, i].astype(jnp.float32)
+        xq_raw = _x_in(xq_ref, tm, G_heads, i).astype(jnp.float32) if need_q else None
+        xk_raw = _x_in(xk_ref, tm, G_heads, i).astype(jnp.float32)
         XKf = _rope_f32(_l2norm_f32(xk_raw), cos_i, sin_i, R)
         target, t_hat, s_t = _target_ln_f32(XV.astype(jnp.float32) - XKf, lnw, lnb)
         XQ = None
@@ -255,7 +257,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
         eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
-        d_out = dout_ref[0, :, j].astype(jnp.float32)
+        d_out = _x_in(dout_ref, tm, G_heads, j).astype(jnp.float32)
 
         # Recompute the step's forward intermediates.
         Z1 = _bmm(XK, W1.astype(dt)) + b1
@@ -377,9 +379,9 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
             dXK = _l2norm_vjp(xk_raw, _rope_vjp(dXK, cos_j, sin_j, R))
 
         # Store outputs and carries.
-        dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
-        dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
-        dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
+        _x_out(dxq_ref, dXQ.astype(dxq_ref.dtype), tm, j)
+        _x_out(dxk_ref, dXK.astype(dxk_ref.dtype), tm, j)
+        _x_out(dxv_ref, dXV.astype(dxv_ref.dtype), tm, j)
         if eta_scale is None:
             deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
         else:
@@ -407,7 +409,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
 # ---------------------------------------------------------------- linear bwd
 
 
-def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
+def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, dout_ref,
@@ -443,14 +445,14 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
     R = _rot_matrix(F) if pre else None
 
     def load_step(i, need_q: bool):
-        XV = xv_ref[0, :, i]
+        XV = _x_in(xv_ref, tm, G_heads, i)
         if not pre:
-            XQ = xq_ref[0, :, i] if need_q else None
-            XK = xk_ref[0, :, i]
+            XQ = _x_in(xq_ref, tm, G_heads, i) if need_q else None
+            XK = _x_in(xk_ref, tm, G_heads, i)
             return XQ, XK, (XV - XK).astype(jnp.float32), None
         cos_i, sin_i = cos_ref[i], sin_ref[i]
-        xq_raw = xq_ref[0, :, i].astype(jnp.float32) if need_q else None
-        xk_raw = xk_ref[0, :, i].astype(jnp.float32)
+        xq_raw = _x_in(xq_ref, tm, G_heads, i).astype(jnp.float32) if need_q else None
+        xk_raw = _x_in(xk_ref, tm, G_heads, i).astype(jnp.float32)
         XKf = _rope_f32(_l2norm_f32(xk_raw), cos_i, sin_i, R)
         target, t_hat, s_t = _target_ln_f32(XV.astype(jnp.float32) - XKf, lnw, lnb)
         XQ = None
@@ -484,7 +486,7 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
         eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
-        d_out = dout_ref[0, :, j].astype(jnp.float32)
+        d_out = _x_in(dout_ref, tm, G_heads, j).astype(jnp.float32)
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         z1_hat, std1 = _ln_stats(Z1)
@@ -549,9 +551,9 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
             dXQ = _l2norm_vjp(xq_raw, _rope_vjp(dXQ, cos_j, sin_j, R))
             dXK = _l2norm_vjp(xk_raw, _rope_vjp(dXK, cos_j, sin_j, R))
 
-        dxq_ref[0, :, j] = dXQ.astype(dxq_ref.dtype)
-        dxk_ref[0, :, j] = dXK.astype(dxk_ref.dtype)
-        dxv_ref[0, :, j] = dXV.astype(dxv_ref.dtype)
+        _x_out(dxq_ref, dXQ.astype(dxq_ref.dtype), tm, j)
+        _x_out(dxk_ref, dXK.astype(dxk_ref.dtype), tm, j)
+        _x_out(dxv_ref, dXV.astype(dxv_ref.dtype), tm, j)
         if eta_scale is None:
             deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
         else:
@@ -573,16 +575,25 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, *refs):
 def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
                         checkpoint_group_size: int, interpret: bool = False,
                         head_group: int | None = None, rope_cos=None, rope_sin=None,
-                        eta_scale=None):
+                        eta_scale=None, token_major: bool = False):
     """Fused TTT-linear backward; see ttt_mlp_backward for conventions."""
-    B, H, NC, CS, F = XQ.shape
+    if token_major:
+        B, NC, CS, HF = XQ.shape
+        H, F = ln_w.shape
+        assert HF == H * F
+    else:
+        B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
     G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=False)
     HG = H // G
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
-    x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
+    if token_major:
+        tm_map = lambda i, n: (i // HG, NG - 1 - n, 0, i % HG)
+        x_spec = lambda f: pl.BlockSpec((1, K, CS, G * f), tm_map, memory_space=pltpu.VMEM)
+    else:
+        x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
     # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
     # is padded 128x in HBM (see ttt_forward._specs).
     eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
@@ -597,17 +608,18 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     rope_in = [rope_cos, rope_sin] if pre else []
     rope_specs = [rope_spec, rope_spec] if pre else []
 
+    x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
     outs = pl.pallas_call(
-        functools.partial(_linear_bwd_kernel, K, NG, NC, pre, eta_scale),
+        functools.partial(_linear_bwd_kernel, K, NG, NC, pre, eta_scale, token_major),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F), ck_spec(8, F), x_spec(F)],
         out_specs=(x_spec(F), x_spec(F), x_spec(F), eta_spec,
                    out_state(F, F), out_state(CS, F), out_ln, out_ln),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
@@ -643,8 +655,18 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
     (a G=6 pick at 12 local heads — H=48 under tp=4 — failed Pallas lowering
     in the 63 s pod-config AOT compile). Measured v5e (16 heads, K=16, CS=64,
     F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms; G=16 fails to compile (VMEM),
-    hence the preference cap at 8 — `num_heads` itself is allowed past the
-    cap when it is the only tiling-legal choice that fits the budget."""
+    and the forced G=12 at 12 local heads fails too (both the detached
+    v5e-256 AOT compile and the live remote compiler die on the kernel's
+    VMEM stack) — so the compile-proven cap is a HARD G <= 8. Head counts
+    with no tiling-legal group under the cap (e.g. 12) don't support the
+    fused backward at all: fused_bwd_supported gates them to the non-fused
+    path (layer.py)."""
+    assert fused_bwd_supported(num_heads), (
+        f"fused TTT backward unsupported at {num_heads} heads: no head group"
+        f" <= 8 is tiling-legal (divisor of {num_heads}, multiple of 8 or =="
+        f" {num_heads}); shard so local heads are a multiple of 8 or <= 8"
+        f" (e.g. tp=2/tp=8 for 48 global heads, not tp=4)"
+    )
     if mlp:
         # W1/W2 stash bf16, b stashes fp32 8-row compressed.
         stash = K * (2 * head_dim * 4 * head_dim * 2 + 8 * 4 * head_dim * 4 + 8 * head_dim * 4)
@@ -653,22 +675,26 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
     io = 2 * 9 * K * CS * head_dim * 2  # 5 in + 4 out blocks, double-buffered, bf16
     budget = 48 * 1024 * 1024
     cap = budget // max(stash + io, 1)
-    valid = [g for g in range(1, num_heads + 1)
+    valid = [g for g in range(1, 9)
              if num_heads % g == 0 and (g % 8 == 0 or g == num_heads)]
-    preferred = [g for g in valid if g <= min(cap, 8)]
-    if preferred:
-        return max(preferred)
-    # No multiple-of-8 divisor fits under the cap: take num_heads itself if
-    # the budget allows (e.g. 12 local heads, 42.8 MB), else the smallest
-    # legal choice and rely on the 100 MB compiler limit's headroom.
     in_budget = [g for g in valid if g <= max(cap, 1)]
     return max(in_budget) if in_budget else min(valid)
+
+
+def fused_bwd_supported(num_heads: int) -> bool:
+    """True iff a tiling-legal backward head group exists under the
+    compile-proven G <= 8 cap: some divisor g of num_heads with g % 8 == 0
+    or g == num_heads. False at e.g. 12 local heads (48 global under tp=4),
+    where the only legal group is 12 and its kernel exceeds VMEM — callers
+    fall back to the non-fused backward (or pick a different tp)."""
+    return any(num_heads % g == 0 and (g % 8 == 0 or g == num_heads)
+               for g in range(1, 9))
 
 
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                      checkpoint_group_size: int, interpret: bool = False,
                      head_group: int | None = None, rope_cos=None, rope_sin=None,
-                     eta_scale=None):
+                     eta_scale=None, token_major: bool = False):
     """Fused backward. NC need not divide the checkpoint group: the ragged
     last group is handled in-kernel with dynamically-bounded loops (its edge
     block rows are Pallas garbage-reads/masked-writes and are never touched).
@@ -678,8 +704,17 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     Returns (dXQ, dXK, dXV, deta, d_lnw [B,H,CS,F], d_lnb [B,H,CS,F],
     dW1 [B,H,F,4F], db1 [B,H,CS,4F], dW2, db2) — ln/bias grads row-replicated
     and per-batch; the caller reduces.
+
+    With ``token_major=True``, XQ/XK/XV/g and the returned dXQ/dXK/dXV ride
+    as [B, NC, CS, H*F] (see ttt_forward's token-major note); everything
+    else is unchanged.
     """
-    B, H, NC, CS, F = XQ.shape
+    if token_major:
+        B, NC, CS, HF = XQ.shape
+        H, F = ln_w.shape
+        assert HF == H * F
+    else:
+        B, H, NC, CS, F = XQ.shape
     F4 = w1_ck.shape[-1]
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
@@ -687,7 +722,11 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     HG = H // G
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
-    x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
+    if token_major:
+        tm_map = lambda i, n: (i // HG, NG - 1 - n, 0, i % HG)
+        x_spec = lambda f: pl.BlockSpec((1, K, CS, G * f), tm_map, memory_space=pltpu.VMEM)
+    else:
+        x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
     # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
     # is padded 128x in HBM (see ttt_forward._specs).
     eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
@@ -702,8 +741,9 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     rope_in = [rope_cos, rope_sin] if pre else []
     rope_specs = [rope_spec, rope_spec] if pre else []
 
+    x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre, eta_scale),
+        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre, eta_scale, token_major),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),
@@ -712,9 +752,9 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
                    out_state(F, F4), out_state(CS, F4), out_state(F4, F), out_state(CS, F),
                    out_ln, out_ln),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F4), jnp.float32),

@@ -150,7 +150,41 @@ def pick_head_group(num_heads: int, head_dim: int, mlp: bool) -> int:
     return g
 
 
-def _linear_kernel(K: int, pre: bool, eta_scale, *refs):
+# ------------------------------------------------------- token-major kernel IO
+# The head-grouped HBM layout [B, H, NC, CS, F] tiles T(8,128) on its minor
+# (CS, F=64) dims — every x input/output is stored (and DMA'd) at 2x its
+# logical bytes, and the XLA side pays a moveaxis relayout each way between
+# the model's token-major [B, L, H*F] stream and the kernel layout (~17
+# ms/step of head-layout copies at the 3 s d3072 flagship, more at 63 s).
+# With ``token_major=True`` the kernels read/write [B, NC, CS, H*F] directly
+# (a pure reshape of the token stream; lanes full, no padding, no relayout)
+# and transpose the [CS, G*F] block to the [G, CS, F] compute layout
+# in-register per grid step.
+
+
+def _x_in(ref, tm: bool, G: int, i=0):
+    """Read one mini-batch step's x block as [G, CS, F]. ``i`` indexes the
+    step inside the block (always 0 in the forward kernels, whose x blocks
+    carry one mini-batch; the backward blocks carry a K-step group)."""
+    if not tm:
+        return ref[0, :, i]  # [G, CS, F]
+    x = ref[0, i]  # [CS, G*F]
+    CS, GF = x.shape
+    F = GF // G
+    # Per-head static lane slices + stack (a lane-splitting reshape
+    # [CS, G*F] -> [CS, G, F] does not lower in Mosaic).
+    return jnp.stack([jax.lax.slice(x, (0, g * F), (CS, (g + 1) * F)) for g in range(G)])
+
+
+def _x_out(ref, val, tm: bool, i=0):
+    if not tm:
+        ref[0, :, i] = val
+    else:
+        G, CS, F = val.shape
+        ref[0, i] = jnp.concatenate([val[g] for g in range(G)], axis=-1)
+
+
+def _linear_kernel(K: int, pre: bool, eta_scale, tm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
          out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr) = refs
@@ -158,6 +192,7 @@ def _linear_kernel(K: int, pre: bool, eta_scale, *refs):
         (xq_ref, xk_ref, xv_ref, eta_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
          out_ref, w1_ckpt_ref, b1_ckpt_ref, w_scr, b_scr) = refs
     n = pl.program_id(1)
+    Gh = lnw_ref.shape[0]
 
     @pl.when(n == 0)
     def _():
@@ -178,14 +213,14 @@ def _linear_kernel(K: int, pre: bool, eta_scale, *refs):
 
     if pre:
         XQf, XKf, target = _fused_preproc(
-            xq_ref[0, :, 0].astype(jnp.float32), xk_ref[0, :, 0].astype(jnp.float32),
-            xv_ref[0, :, 0].astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
+            _x_in(xq_ref, tm, Gh).astype(jnp.float32), _x_in(xk_ref, tm, Gh).astype(jnp.float32),
+            _x_in(xv_ref, tm, Gh).astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
         )
         XQ, XK = XQf.astype(dt), XKf.astype(dt)
     else:
-        XQ = xq_ref[0, :, 0]  # [G, CS, F] (bf16 or f32)
-        XK = xk_ref[0, :, 0]
-        XV = xv_ref[0, :, 0]
+        XQ = _x_in(xq_ref, tm, Gh)  # [G, CS, F] (bf16 or f32)
+        XK = _x_in(xk_ref, tm, Gh)
+        XV = _x_in(xv_ref, tm, Gh)
         target = (XV - XK).astype(jnp.float32)
 
     W = w_scr[:]  # [G, F, F] fp32
@@ -203,13 +238,13 @@ def _linear_kernel(K: int, pre: bool, eta_scale, *refs):
     W_new = W - _bmm(XK, Gs, transpose_a=True)
 
     out = XQ.astype(jnp.float32) + ln_fwd(Z1_bar, lnw, lnb)
-    out_ref[0, :, 0] = out.astype(out_ref.dtype)
+    _x_out(out_ref, out.astype(out_ref.dtype), tm)
 
     w_scr[:] = W_new
     b_scr[:] = b_new
 
 
-def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
+def _mlp_kernel(K: int, pre: bool, eta_scale, tm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1_ref, b1_ref, w2_ref, b2_ref,
@@ -221,6 +256,7 @@ def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
          out_ref, w1_ckpt_ref, b1_ckpt_ref, w2_ckpt_ref, b2_ckpt_ref,
          w1_scr, b1_scr, w2_scr, b2_scr) = refs
     n = pl.program_id(1)
+    Gh = lnw_ref.shape[0]
 
     @pl.when(n == 0)
     def _():
@@ -244,14 +280,14 @@ def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
 
     if pre:
         XQf, XKf, target = _fused_preproc(
-            xq_ref[0, :, 0].astype(jnp.float32), xk_ref[0, :, 0].astype(jnp.float32),
-            xv_ref[0, :, 0].astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
+            _x_in(xq_ref, tm, Gh).astype(jnp.float32), _x_in(xk_ref, tm, Gh).astype(jnp.float32),
+            _x_in(xv_ref, tm, Gh).astype(jnp.float32), cos_ref[0], sin_ref[0], lnw, lnb,
         )
         XQ, XK = XQf.astype(dt), XKf.astype(dt)
     else:
-        XQ = xq_ref[0, :, 0]  # [G, CS, F]
-        XK = xk_ref[0, :, 0]
-        XV = xv_ref[0, :, 0]
+        XQ = _x_in(xq_ref, tm, Gh)  # [G, CS, F]
+        XK = _x_in(xk_ref, tm, Gh)
+        XV = _x_in(xv_ref, tm, Gh)
         target = (XV - XK).astype(jnp.float32)
 
     W1, b1 = w1_scr[:], b1_scr[:]  # [G, F, 4F], [G, CS, 4F]
@@ -284,7 +320,7 @@ def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
     W2_new = W2 - _bmm(X2c, G2, transpose_a=True)
 
     out = XQ.astype(jnp.float32) + ln_fwd(Z2_bar, lnw, lnb)
-    out_ref[0, :, 0] = out.astype(out_ref.dtype)
+    _x_out(out_ref, out.astype(out_ref.dtype), tm)
 
     w1_scr[:] = W1_new
     b1_scr[:] = b1_new
@@ -292,11 +328,19 @@ def _mlp_kernel(K: int, pre: bool, eta_scale, *refs):
     b2_scr[:] = b2_new
 
 
-def _specs(H, G, CS, F, K):
-    """Common BlockSpecs for the head-grouped layout. HG = H // G groups."""
+def _specs(H, G, CS, F, K, tm: bool = False):
+    """Common BlockSpecs for the head-grouped layout. HG = H // G groups.
+
+    ``tm``: x inputs/outputs ride TOKEN-MAJOR [B, NC, CS, H*F] (see the
+    token-major note above _x_in) — the block is the [CS, G*F] slab of one
+    mini-batch row for one head group; everything else is unchanged."""
     HG = H // G
-    x_map = lambda i, n: (i // HG, i % HG, n, 0, 0)
-    x_spec = lambda f: pl.BlockSpec((1, G, 1, CS, f), x_map, memory_space=pltpu.VMEM)
+    if tm:
+        x_map = lambda i, n: (i // HG, n, 0, i % HG)
+        x_spec = lambda f: pl.BlockSpec((1, 1, CS, G * f), x_map, memory_space=pltpu.VMEM)
+    else:
+        x_map = lambda i, n: (i // HG, i % HG, n, 0, 0)
+        x_spec = lambda f: pl.BlockSpec((1, G, 1, CS, f), x_map, memory_space=pltpu.VMEM)
     # eta rides as [B, NC, H, CS] (rank 4): a trailing singleton lane dim
     # ([..., CS, 1]) would be padded 128x in HBM (measured: 0.58 MB -> 72 MB
     # per remat temp at the 42-layer geometry -> OOM). The [G, CS] block is
@@ -321,32 +365,43 @@ def _replicate_rows(x, CS):
 
 def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int,
                        interpret: bool = False, head_group: int | None = None,
-                       rope_cos=None, rope_sin=None, eta_scale=None):
+                       rope_cos=None, rope_sin=None, eta_scale=None,
+                       token_major: bool = False):
     """XQ/XK/XV: [B,H,NC,CS,F]; eta: [B,H,NC,CS]; W1: [B,H,F,F]; b1: [B,H,1,F].
 
     With ``rope_cos``/``rope_sin`` ([NC, CS, F] f32 interleaved tables), the
     inputs are the RAW projections and the kernel applies L2-norm + rope +
     LN-reconstruction-target internally (fused preproc).
 
-    Returns (XQW [B,H,NC,CS,F], W1_ckpts [B,H,NG,F,F], b1_ckpts [B,H,NG,1,F]).
+    With ``token_major=True``, XQ/XK/XV and the returned XQW ride as
+    [B, NC, CS, H*F] (a pure reshape of the model's [B, L, D] stream — no
+    moveaxis relayout, no T(8,128) lane padding; see _x_in).
+
+    Returns (XQW, W1_ckpts [B,H,NG,F,F], b1_ckpts [B,H,NG,1,F]).
     """
-    B, H, NC, CS, F = XQ.shape
+    if token_major:
+        B, NC, CS, HF = XQ.shape
+        H, F = ln_w.shape
+        assert HF == H * F
+    else:
+        B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)
     G = head_group or pick_head_group(H, F, mlp=False)
-    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K, token_major)
     pre = rope_cos is not None
     rope_in = [rope_cos, rope_sin] if pre else []
     rope_specs = [rope_spec, rope_spec] if pre else []
+    x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
 
     out, w_ckpt, b_ckpt = pl.pallas_call(
-        functools.partial(_linear_kernel, K, pre, eta_scale),
+        functools.partial(_linear_kernel, K, pre, eta_scale, token_major),
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F), state_spec(CS, F)],
         out_specs=(x_spec(F), ckpt_spec(F, F), ckpt_spec(8, F)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NG, F, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, NG, 8, F), jnp.float32),
         ),
@@ -368,26 +423,33 @@ def ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_siz
 
 def ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, checkpoint_group_size: int,
                     interpret: bool = False, head_group: int | None = None,
-                    rope_cos=None, rope_sin=None, eta_scale=None):
+                    rope_cos=None, rope_sin=None, eta_scale=None,
+                    token_major: bool = False):
     """Same layout as ttt_linear_forward with W1 [B,H,F,4F], W2 [B,H,4F,F]."""
-    B, H, NC, CS, F = XQ.shape
+    if token_major:
+        B, NC, CS, HF = XQ.shape
+        H, F = ln_w.shape
+        assert HF == H * F
+    else:
+        B, H, NC, CS, F = XQ.shape
     F4 = W1.shape[-1]
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)
     G = head_group or pick_head_group(H, F, mlp=True)
-    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K)
+    x_spec, eta_spec, ln_spec, state_spec, ckpt_spec, rope_spec = _specs(H, G, CS, F, K, token_major)
     pre = rope_cos is not None
     rope_in = [rope_cos, rope_sin] if pre else []
     rope_specs = [rope_spec, rope_spec] if pre else []
+    x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
 
     out, w1_ck, b1_ck, w2_ck, b2_ck = pl.pallas_call(
-        functools.partial(_mlp_kernel, K, pre, eta_scale),
+        functools.partial(_mlp_kernel, K, pre, eta_scale, token_major),
         grid=(B * (H // G), NC),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   state_spec(F, F4), state_spec(CS, F4), state_spec(F4, F), state_spec(CS, F)],
         out_specs=(x_spec(F), ckpt_spec(F, F4), ckpt_spec(8, F4), ckpt_spec(F4, F), ckpt_spec(8, F)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, NC, CS, F), XQ.dtype),
+            jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct((B, H, NG, F, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, NG, 8, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, NG, F4, F), jnp.float32),

@@ -26,13 +26,14 @@ def is_supported(shape) -> bool:
 
 def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int = 16,
                use_fused_bwd: bool | None = None, rope_cos=None, rope_sin=None,
-               eta_scale=None):
+               eta_scale=None, token_major: bool = False):
     """With ``rope_cos``/``rope_sin`` ([NC, CS, F] interleaved tables), the
     q/k/v inputs are the RAW projections and the kernel fuses L2-norm + rope +
     LN-reconstruction-target (requires the fused Pallas backward). With
     ``eta_scale``, ``eta`` carries the pre-sigmoid LR-gate logits and the
-    kernel fuses eta = sigmoid(gate) * eta_scale too (and emits d_gate)."""
-    NC = XQ.shape[2]
+    kernel fuses eta = sigmoid(gate) * eta_scale too (and emits d_gate).
+    ``token_major``: see ttt_mlp_kernel.ttt_mlp."""
+    NC = XQ.shape[1] if token_major else XQ.shape[2]
     K = min(max(checkpoint_group_size, 1), NC)
     fused = ttt_vjp.USE_FUSED_BWD if use_fused_bwd is None else use_fused_bwd
 
@@ -40,13 +41,14 @@ def ttt_linear(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, checkpoint_group_size: int =
         assert fused, "fused TTT preprocessing requires the fused Pallas backward"
 
         def kernel_pre(xq, xk, xv, e, lw, lb, w1, b1_, cos, sin):
-            return ttt_vjp.ttt_linear_fused_pre(K, _FORCE_INTERPRET, eta_scale, xq, xk, xv,
-                                                e, cos, sin, lw, lb, w1, b1_)
+            return ttt_vjp.ttt_linear_fused_pre(K, _FORCE_INTERPRET, eta_scale, token_major,
+                                                xq, xk, xv, e, cos, sin, lw, lb, w1, b1_)
 
-        return shard_mapped_ttt(kernel_pre, n_states=2, n_tables=2)(
+        return shard_mapped_ttt(kernel_pre, n_states=2, n_tables=2, token_major=token_major)(
             XQ, XK, XV, eta, ln_w, ln_b, W1, b1, rope_cos, rope_sin
         )
 
+    assert not token_major, "token-major kernel IO requires the fused-preproc path"
     assert eta_scale is None or rope_cos is not None, "eta-gate fusion requires fused preproc"
 
     def kernel_fn(xq, xk, xv, e, lw, lb, w1, b1_):

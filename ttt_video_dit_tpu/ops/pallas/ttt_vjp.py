@@ -233,34 +233,34 @@ ttt_mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)
 # tensors). Table cotangents are zero (rope tables are positional constants).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def ttt_linear_fused_pre(K: int, interpret: bool, eta_scale, XQ, XK, XV, eta, rope_cos, rope_sin,
-                         ln_w, ln_b, W1, b1):
-    out, _, _ = _linear_fwd_padded_pre(K, interpret, eta_scale, XQ, XK, XV, eta, rope_cos, rope_sin,
-                                       ln_w, ln_b, W1, b1)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def ttt_linear_fused_pre(K: int, interpret: bool, eta_scale, token_major: bool,
+                         XQ, XK, XV, eta, rope_cos, rope_sin, ln_w, ln_b, W1, b1):
+    out, _, _ = _linear_fwd_padded_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta,
+                                       rope_cos, rope_sin, ln_w, ln_b, W1, b1)
     return out
 
 
-def _linear_fwd_padded_pre(K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
+def _linear_fwd_padded_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
     return ttt_forward.ttt_linear_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, K,
                                           interpret=interpret, rope_cos=cos, rope_sin=sin,
-                                          eta_scale=eta_scale)
+                                          eta_scale=eta_scale, token_major=token_major)
 
 
-def _linear_fwd_pre(K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
-    out, w_ck, b_ck = _linear_fwd_padded_pre(K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1)
+def _linear_fwd_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1):
+    out, w_ck, b_ck = _linear_fwd_padded_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1)
     w_ck, b_ck = _name_res(w_ck, b_ck)
     return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck)
 
 
-def _linear_bwd_pre(K, interpret, eta_scale, res, g):
+def _linear_bwd_pre(K, interpret, eta_scale, token_major, res, g):
     from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
     XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w_ck, b_ck = res
 
     dXQ, dXK, dXV, de, dW1, db1, dlnw, dlnb = ttt_backward.ttt_linear_backward(
         XQ, XK, XV, eta, ln_w, ln_b, w_ck, b_ck, g.astype(XQ.dtype), K, interpret=interpret,
-        rope_cos=cos, rope_sin=sin, eta_scale=eta_scale,
+        rope_cos=cos, rope_sin=sin, eta_scale=eta_scale, token_major=token_major,
     )
     sl = lambda x, proto: x.astype(proto.dtype)
     return (
@@ -275,29 +275,29 @@ def _linear_bwd_pre(K, interpret, eta_scale, res, g):
 ttt_linear_fused_pre.defvjp(_linear_fwd_pre, _linear_bwd_pre)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def ttt_mlp_fused_pre(K: int, interpret: bool, eta_scale, XQ, XK, XV, eta, rope_cos, rope_sin,
-                      ln_w, ln_b, W1, b1, W2, b2):
-    out, *_ = _mlp_fwd_padded_pre(K, interpret, eta_scale, XQ, XK, XV, eta, rope_cos, rope_sin,
-                                  ln_w, ln_b, W1, b1, W2, b2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def ttt_mlp_fused_pre(K: int, interpret: bool, eta_scale, token_major: bool,
+                      XQ, XK, XV, eta, rope_cos, rope_sin, ln_w, ln_b, W1, b1, W2, b2):
+    out, *_ = _mlp_fwd_padded_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta,
+                                  rope_cos, rope_sin, ln_w, ln_b, W1, b1, W2, b2)
     return out
 
 
-def _mlp_fwd_padded_pre(K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
+def _mlp_fwd_padded_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
     return ttt_forward.ttt_mlp_forward(XQ, XK, XV, eta, ln_w, ln_b, W1, b1, W2, b2, K,
                                        interpret=interpret, rope_cos=cos, rope_sin=sin,
-                                       eta_scale=eta_scale)
+                                       eta_scale=eta_scale, token_major=token_major)
 
 
-def _mlp_fwd_pre(K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
+def _mlp_fwd_pre(K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2):
     out, w1_ck, b1_ck, w2_ck, b2_ck = _mlp_fwd_padded_pre(
-        K, interpret, eta_scale, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2
+        K, interpret, eta_scale, token_major, XQ, XK, XV, eta, cos, sin, ln_w, ln_b, W1, b1, W2, b2
     )
     w1_ck, b1_ck, w2_ck, b2_ck = _name_res(w1_ck, b1_ck, w2_ck, b2_ck)
     return out, (XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck)
 
 
-def _mlp_bwd_pre(K, interpret, eta_scale, res, g):
+def _mlp_bwd_pre(K, interpret, eta_scale, token_major, res, g):
     from ttt_video_dit_tpu.ops.pallas import ttt_backward
 
     XQ, XK, XV, eta, cos, sin, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck = res
@@ -305,7 +305,7 @@ def _mlp_bwd_pre(K, interpret, eta_scale, res, g):
     outs = ttt_backward.ttt_mlp_backward(
         XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck,
         g.astype(XQ.dtype), K, interpret=interpret,
-        rope_cos=cos, rope_sin=sin, eta_scale=eta_scale,
+        rope_cos=cos, rope_sin=sin, eta_scale=eta_scale, token_major=token_major,
     )
     dXQ, dXK, dXV, de, dW1, db1, dW2, db2, dlnw, dlnb = outs
     sl = lambda x, proto: x.astype(proto.dtype)

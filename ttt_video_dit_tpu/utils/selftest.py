@@ -117,7 +117,7 @@ def kernel_selftest(log: Optional[Callable[[str], None]] = None, interpret: bool
         return jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
 
     def gate_loss_k(q, k, v, g_):
-        out = ttt_vjp.ttt_mlp_fused_pre(K, interpret, scale, q, k, v, g_, rc, rs,
+        out = ttt_vjp.ttt_mlp_fused_pre(K, interpret, scale, False, q, k, v, g_, rc, rs,
                                         lnw, lnb, W1m, b1m, W2m, b2m)
         return jnp.sum(out ** 2)
 
