@@ -60,19 +60,28 @@ STAGE_TOMLS = [t for t in TRAIN_TOMLS if "debug" not in t]
 
 @pytest.mark.parametrize("toml", STAGE_TOMLS, ids=lambda p: osp.relpath(p, CONFIG_ROOT))
 def test_stage_tomls_ship_measured_best_remat(toml):
-    """Every 5B curriculum stage must ship the TPU-measured-best remat recipe —
-    layer-granular remat + save_seq policy + scan-layers — NOT the reference's
-    nested H100 flag set, which triple-computes block interiors and measures
-    ~10 MFU points slower on TPU (docs/performance.md "Depth under remat";
-    reference recipe: /root/reference/configs/train/ttt-mlp/63s.toml:33-40)."""
+    """Every 5B curriculum stage must ship the TPU remat recipe that is both
+    measured-best AND memory-feasible at its cluster shape — layer-granular
+    remat + scan-layers, with the save_seq policy ONLY at 3 s (where its kept
+    residuals fit: 53.4 GB/chip AOT-proven on v5p-64) and policy "none" from
+    9 s on (save_seq's residuals scale with tokens x depth and exceed the
+    stage clusters' HBM — docs/performance.md "Pod-scale AOT evidence").
+    Never the reference's nested H100 flag set, which triple-computes block
+    interiors and measures ~10 MFU points slower on TPU (docs/performance.md
+    "Depth under remat"; reference: configs/train/ttt-mlp/63s.toml:33-40)."""
     jc = JobConfig().parse_args(["--job.config_file", toml])
     mc = ModelConfig.get_preset(jc.model.size, jc.model.video_length, jc)
-    assert mc.remat_policy == "save_seq"
+    expected_policy = "save_seq" if jc.model.video_length == "3sec" else "none"
+    assert mc.remat_policy == expected_policy
     assert mc.remat_transformer_layers and mc.remat_transformer_layer_group_size == 1
     assert mc.scan_layers
     # No nested remat under the layer boundary (the 3x-forward tax).
     assert not (mc.remat_seq_modeling_block or mc.remat_mlp or mc.remat_attention)
     assert not (mc.remat_forward_ssm or mc.remat_reverse_ssm)
+    # Stages with tensor parallelism must spread the per-layer boundary saves
+    # over the tp axis (the [B, L, D] carry floor — 63s.toml arithmetic).
+    if jc.parallelism.tp_sharding > 1:
+        assert mc.shard_transformer_inputs, toml
 
 
 def test_unknown_key_rejected(tmp_path):

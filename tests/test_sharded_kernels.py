@@ -56,3 +56,22 @@ def test_mlp_kernel_grads_under_mesh(rng, monkeypatch):
 
     for a, b in zip(gk, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_maybe_shard_drops_non_dividing_axes():
+    """maybe_shard must drop spec entries whose mesh axes do not evenly
+    divide the array dim — like the param rules do — so geometry-dependent
+    token counts (e.g. the 63 s window-token axis of 17,550 under tp=4)
+    degrade to replicated instead of an invalid constraint."""
+    from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
+
+    mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
+    x = jnp.zeros((8, 17550, 16))  # 17550 % 2 = 0 -> sharded
+    y = jnp.zeros((8, 8775, 16))   # 8775 % 2 = 1 -> dropped to replicated
+    with use_mesh(mesh):
+        xs = jax.jit(lambda a: maybe_shard(a, DATA, TENSOR, None))(x)
+        ys = jax.jit(lambda a: maybe_shard(a, DATA, TENSOR, None))(y)
+    assert "tensor" in str(xs.sharding.spec), xs.sharding
+    assert "tensor" not in str(ys.sharding.spec), ys.sharding
+    # Batch axis still sharded in both.
+    assert "replica" in str(ys.sharding.spec) and "fsdp" in str(ys.sharding.spec)

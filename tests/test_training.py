@@ -181,10 +181,14 @@ def test_sharded_train_step_on_mesh(rng):
 def test_sharded_train_step_scan_layers(rng):
     """SPMD smoke with scan-over-layers: stacked [L, ...] params keep their
     head/fsdp shardings (parallel/sharding.py stacked-layer rule) and a full
-    sharded train step runs — the configuration that scales to 42 layers."""
+    sharded train step runs — the configuration that scales to 42 layers.
+    shard_transformer_inputs pins the scan carry (= the per-layer remat
+    boundary saves) to batch x token sharding, the long-context stage recipe
+    (configs/train/ttt-mlp/63s.toml)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    cfg, model = _build(adapter="sft", num_heads=4, scan_layers=True)
+    cfg, model = _build(adapter="sft", num_heads=4, scan_layers=True,
+                        shard_transformer_inputs=True)
     mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
     B = 4
     vid = jnp.asarray(rng.standard_normal((B, 13, 16, 16, 16)), jnp.float32)

@@ -204,6 +204,16 @@ class SegmentLocalAttention(nn.Module):
 
         S = TL + WF * TPF
         x = jnp.concatenate([win_text, win_vid], axis=2).reshape(B * C, S, D)
+        # Megatron-SP for the window stream: run the q/k/v projections with
+        # the window-token axis sharded over the tensor axis (weights are
+        # head-column-sharded, so each chip computes a token-slice x its
+        # head-slice). The [B*C, S, D] window tensors are the largest
+        # per-layer workspace at long context — 2.11 GB each at the 63 s
+        # geometry (AOT-measured, docs/performance.md) — and without this
+        # constraint they stay token-replicated across the tp group. Dim 0
+        # is batch-major (B*C), so DATA sharding matches the incoming batch
+        # sharding with no data movement. No-op without an ambient mesh.
+        x = maybe_shard(x, DATA, TENSOR, None)
 
         dense = lambda name: nn.Dense(D, dtype=dtype, param_dtype=jnp.float32, name=name)
         q = dense("q")(x).reshape(B * C, S, H, F)
@@ -394,6 +404,15 @@ class _ScanLayerBody(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         vid, text, t_emb = carry
+        if self.config.shard_transformer_inputs:
+            # Pin the scan carry (= the tensors a rematted body saves per
+            # layer) to batch x token sharding. At 63 s the per-layer
+            # boundary save is [B, 352k, D] bf16 = 138.6 GB global: its
+            # per-chip floor is B*L*D*2 / n_chips no matter the mesh shape,
+            # and leaving the token axis unsharded multiplies that by tp.
+            # Mirrors the unrolled path's between-group constraint below.
+            vid = maybe_shard(vid, DATA, TENSOR, None)
+            text = maybe_shard(text, DATA, TENSOR, None)
         vid, text = TransformerLayer(self.config, name="layer")(vid, text, t_emb, self.meta)
         return (vid, text, t_emb), None
 

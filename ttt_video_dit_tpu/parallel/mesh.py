@@ -93,21 +93,28 @@ def maybe_shard(x, *spec):
     """Apply a sharding constraint if an ambient mesh is set; no-op otherwise.
 
     Axis names not present in the mesh (or with size 1) are dropped from the
-    spec, so the same model code runs unsharded on one chip and sharded on a
-    pod. ``spec`` entries may be axis names, tuples of axis names, or None.
+    spec, and — like the param partition rules — so is any entry whose mesh
+    axes do not evenly divide the corresponding array dim (e.g. the 63 s
+    window-token axis of 17,550 under tp=4), so the same model code runs
+    unsharded on one chip and sharded on a pod. ``spec`` entries may be axis
+    names, tuples of axis names, or None.
     """
     mesh = current_mesh()
     if mesh is None:
         return x
 
-    def _filter(entry):
+    def _filter(entry, dim):
         if entry is None:
             return None
         names = entry if isinstance(entry, tuple) else (entry,)
         names = tuple(nm for nm in names if nm in mesh.axis_names and mesh.shape[nm] > 1)
         if not names:
             return None
+        size = int(np.prod([mesh.shape[nm] for nm in names]))
+        if dim % size != 0:
+            return None
         return names if len(names) > 1 else names[0]
 
-    pspec = P(*(_filter(e) for e in spec))
+    assert len(spec) == len(x.shape), (spec, x.shape)
+    pspec = P(*(_filter(e, d) for e, d in zip(spec, x.shape)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, pspec))
