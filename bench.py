@@ -68,6 +68,11 @@ def main():
                         help="sample mode: number of distinct storyboards (different "
                         "conditioning) to sample; >1 also asserts the per-model denoiser "
                         "jit cache prevents re-tracing between storyboards")
+    parser.add_argument("--allow-selftest-fail", action="store_true",
+                        help="exit 0 even when the pre-timing kernel selftest fails "
+                        "(default: a parity failure exits non-zero so drivers that only "
+                        "check the exit status cannot mistake the JSON for a valid perf "
+                        "artifact; the JSON still prints with selftest:'fail')")
     parser.add_argument("--no-selftest", dest="selftest", action="store_false", default=True,
                         help="skip the compiled-mode kernel parity self-test that runs "
                         "before timing on TPU (utils/selftest.py; ~2 min of small compiles "
@@ -148,6 +153,7 @@ def main():
     # compiled-mode kernel parity artifact (VERDICT r3 ask; the reference's
     # analogous mechanism is use_kernel=False, ttt/models/ssm/ttt_layer.py:338).
     args._selftest = "skipped"
+    rc = 0
     if args.selftest and jax.default_backend() == "tpu":
         from ttt_video_dit_tpu.utils.selftest import kernel_selftest
 
@@ -156,9 +162,15 @@ def main():
         if not st["ok"]:
             bad = {k: round(v, 5) for k, v in st["checks"].items()}
             print(f"SELFTEST FAILURES: {bad}", file=sys.stderr)
+            if not args.allow_selftest_fail:
+                # Still print the timing JSON (selftest:'fail' inside), but
+                # exit non-zero so status-only drivers can't mistake a
+                # failed-parity bench for a valid perf artifact.
+                rc = 1
 
     if args.mode == "sample":
-        return bench_sampling(args)
+        bench_sampling(args)
+        return rc
 
     model = CogVideoX(cfg)
     B, TL = args.batch_size, args.text_length
@@ -236,6 +248,7 @@ def main():
     if args.config is not None:
         result["config_file"] = args.config
     print(json.dumps(result))
+    return rc
 
 
 def bench_sampling(args):

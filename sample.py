@@ -113,10 +113,17 @@ def main(job_config) -> None:
     mesh = build_eval_mesh(job_config.parallelism)
     if mesh is not None:
         logger.write(f"SPMD sampling mesh: {dict(mesh.shape)}")
-    elif job_config.parallelism.tp_sharding > 1:
+    elif any(ax > 1 for ax in (job_config.parallelism.dp_replicate,
+                               job_config.parallelism.dp_sharding,
+                               job_config.parallelism.tp_sharding)):
+        # Any requested axis >1 that we can't satisfy deserves the warning,
+        # not just tp (dp_* axes matter for batched eval too).
         logger.write(
-            f"WARNING: [parallelism] asks for tp={job_config.parallelism.tp_sharding} "
-            f"but only {len(jax.devices())} device(s) visible; sampling unsharded"
+            f"WARNING: [parallelism] asks for replicate="
+            f"{job_config.parallelism.dp_replicate} fsdp="
+            f"{job_config.parallelism.dp_sharding} tp="
+            f"{job_config.parallelism.tp_sharding} but only "
+            f"{len(jax.devices())} device(s) visible; sampling unsharded"
         )
 
     # --- DiT weights -----------------------------------------------------

@@ -16,22 +16,23 @@ from ttt_video_dit_tpu.ops.pallas import ttt_vjp
 B, H, NC, CS, F = 2, 2, 6, 16, 32
 
 
-def _inputs(rng, mlp=False):
-    shp = (B, H, NC, CS, F)
+def _inputs(rng, mlp=False, shape=None):
+    b, h, nc, cs, f = shape or (B, H, NC, CS, F)
+    shp = (b, h, nc, cs, f)
     out = [
         jnp.asarray(rng.standard_normal(shp), jnp.float32),
         jnp.asarray(rng.standard_normal(shp), jnp.float32),
         jnp.asarray(rng.standard_normal(shp), jnp.float32),
-        jnp.asarray(rng.uniform(0.001, 0.01, (B, H, NC, CS)), jnp.float32),
-        jnp.asarray(rng.standard_normal((H, F)), jnp.float32),
-        jnp.asarray(rng.standard_normal((H, F)), jnp.float32),
-        jnp.asarray(0.02 * rng.standard_normal((B, H, F, 4 * F if mlp else F)), jnp.float32),
-        jnp.zeros((B, H, 1, 4 * F if mlp else F), jnp.float32),
+        jnp.asarray(rng.uniform(0.001, 0.01, (b, h, nc, cs)), jnp.float32),
+        jnp.asarray(rng.standard_normal((h, f)), jnp.float32),
+        jnp.asarray(rng.standard_normal((h, f)), jnp.float32),
+        jnp.asarray(0.02 * rng.standard_normal((b, h, f, 4 * f if mlp else f)), jnp.float32),
+        jnp.zeros((b, h, 1, 4 * f if mlp else f), jnp.float32),
     ]
     if mlp:
         out += [
-            jnp.asarray(0.02 * rng.standard_normal((B, H, 4 * F, F)), jnp.float32),
-            jnp.zeros((B, H, 1, F), jnp.float32),
+            jnp.asarray(0.02 * rng.standard_normal((b, h, 4 * f, f)), jnp.float32),
+            jnp.zeros((b, h, 1, f), jnp.float32),
         ]
     return out
 
@@ -323,13 +324,14 @@ def test_token_major_vjp_matches_head_major(rng, K):
 
 
 def test_head_group_picks_are_tiling_legal():
-    """Both group pickers must return G with num_heads % G == 0 and
-    (G % 8 == 0 or G == num_heads): the eta/deta blocks are [.., G, CS], so
-    Mosaic requires the sublane dim be a multiple of 8 or the full array dim.
-    The backward additionally caps G at the compile-proven 8 (G=12 and G=16
-    exceed the kernel's VMEM on v5e) — head counts with no legal group under
-    the cap (12 local heads = 48 global under tp=4) are UNSUPPORTED for the
-    fused backward and must gate to the non-fused path."""
+    """Both group pickers must return tiling-legal G. The forward (and the
+    chunk-major backward eta layout) put G on the sublane axis of the
+    eta/deta blocks, so Mosaic requires G % 8 == 0 or G == num_heads; with
+    K % 8 == 0 (default 16) the backward may instead use the HEAD-major eta
+    layout (K on the sublane axis) which admits ANY divisor <= 8 — that is
+    what gives 12 local heads (48 global under tp=4, the reference's 63 s
+    shape) a fused backward via G=6. The backward caps G at the
+    compile-proven 8 (G=12 and G=16 exceed the kernel's VMEM on v5e)."""
     from ttt_video_dit_tpu.ops.pallas.ttt_backward import fused_bwd_supported, pick_bwd_head_group
     from ttt_video_dit_tpu.ops.pallas.ttt_forward import pick_head_group
 
@@ -337,18 +339,84 @@ def test_head_group_picks_are_tiling_legal():
         for mlp in (True, False):
             gf = pick_head_group(h, 64, mlp)
             assert h % gf == 0 and (gf % 8 == 0 or gf == h), f"fwd H={h} mlp={mlp} -> G={gf}"
-            if not fused_bwd_supported(h):
-                with pytest.raises(AssertionError):
-                    pick_bwd_head_group(h, 64, 16, 64, mlp)
-                continue
+            # K=16 (the config default) keeps the head-major eta layout legal,
+            # so every head count has a fused backward group.
+            assert fused_bwd_supported(h, 16)
             gb = pick_bwd_head_group(h, 64, 16, 64, mlp)
-            assert h % gb == 0 and (gb % 8 == 0 or gb == h) and gb <= 8, f"bwd H={h} -> G={gb}"
-    # The measured-optimal picks must be preserved; tp=4's 12 local heads
-    # must be rejected (its only legal group, 12, fails to compile).
+            assert h % gb == 0 and gb <= 8, f"bwd H={h} -> G={gb}"
+            if not (gb % 8 == 0 or gb == h):
+                # Head-major-only picks need the K legality that granted them.
+                assert 16 % 8 == 0
+    # The measured-optimal chunk-major picks must be preserved.
     assert pick_bwd_head_group(16, 64, 16, 64, True) == 8
     assert pick_bwd_head_group(48, 64, 16, 64, True) == 8
+    # tp=4's 12 local heads: G=6 via the head-major eta layout.
+    assert pick_bwd_head_group(12, 64, 16, 64, True) == 6
+    assert fused_bwd_supported(12, 16) and fused_bwd_supported(12, 5, 5)
+    # Conservative callers (no K) and tiling-illegal K still gate 12 out.
     assert not fused_bwd_supported(12)
+    assert not fused_bwd_supported(12, 10, 20)
+    with pytest.raises(ValueError):
+        pick_bwd_head_group(12, 64, 10, 64, True, NC=20)
     assert fused_bwd_supported(24) and fused_bwd_supported(6)
+
+
+def test_fused_bwd_at_12_local_heads_matches_oracle(rng):
+    """tp=4 on 48 global heads leaves 12 local heads — no chunk-major head
+    group exists (no divisor <= 8 is a multiple of 8), so the backward
+    auto-selects G=6 with the HEAD-major eta layout (_eta_in / _deta_out;
+    legal because K % 8 == 0). Values and every gradient must match the
+    oracle, including a ragged last checkpoint group (NC=10, K=8). Match:
+    /root/reference/configs/train/ttt-mlp/63s.toml:41-44 (16 nodes x 4 GPUs,
+    tp=4)."""
+    shp = (1, 12, 10, 16, 32)
+
+    for mlp in (False, True):
+        args = _inputs(rng, mlp=mlp, shape=shp)
+        fused_fn = ttt_vjp.ttt_mlp_fused if mlp else ttt_vjp.ttt_linear_fused
+        oracle = ttt_scan.ttt_mlp if mlp else ttt_scan.ttt_linear
+        argnums = tuple(range(len(args)))
+        gk = jax.grad(lambda *a: jnp.sum(fused_fn(8, True, True, *a) ** 2), argnums)(*args)
+        go = jax.grad(lambda *a: jnp.sum(oracle(*a, checkpoint_group_size=8) ** 2), argnums)(*args)
+        for i, (a, b) in enumerate(zip(gk, go)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                                       err_msg=f"mlp={mlp} grad argnum {i}")
+
+
+def test_token_major_eta_gate_at_12_local_heads(rng):
+    """The production tp=4 63 s path end-to-end: token-major kernel IO +
+    fused preproc + fused eta gate at 12 local heads (head-major deta
+    emits d_gate). Values and all grads vs composed XLA preproc + sigmoid
+    gate + scan-oracle autodiff."""
+    shp = (1, 12, 10, 16, 32)
+    b, h, nc, cs, f = shp
+    args = _inputs(rng, mlp=True, shape=shp)
+    XQr, XKr, XVr, _, lnw, lnb, W1, b1, W2, b2 = args
+    gate = jnp.asarray(rng.standard_normal((b, h, nc, cs)), jnp.float32)
+    scale = 0.1 / f / cs
+    stl = 24
+    rope_cos, rope_sin, cos, sin = _tables(rng, nc * cs, stl, f, nc, cs)
+    tm = lambda x: jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, nc, cs, h * f)
+
+    def ref_loss(a):
+        XQp, XKp, XVp = _xla_preproc(a[0], a[1], a[2], a[4], a[5], cos, sin, stl)
+        eta = jax.nn.sigmoid(a[3]) * scale
+        out = ttt_scan.ttt_mlp(XQp, XKp, XVp, eta, a[4], a[5], a[6], a[7], a[8], a[9], 8)
+        return jnp.sum(out * out)
+
+    def gate_loss(a):
+        out = ttt_vjp.ttt_mlp_fused_pre(8, True, scale, True, tm(a[0]), tm(a[1]), tm(a[2]), a[3],
+                                        rope_cos, rope_sin, a[4], a[5], a[6], a[7], a[8], a[9])
+        return jnp.sum(out * out)
+
+    newargs = (XQr, XKr, XVr, gate, lnw, lnb, W1, b1, W2, b2)
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(newargs)
+    v_pre, g_pre = jax.value_and_grad(gate_loss)(newargs)
+    np.testing.assert_allclose(float(v_pre), float(v_ref), rtol=1e-5)
+    for i, (a, g2) in enumerate(zip(g_ref, g_pre)):
+        sa = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(a), rtol=0, atol=3e-5 * sa,
+                                   err_msg=f"grad argnum {i}")
 
 
 def test_kernel_selftest_harness(rng):

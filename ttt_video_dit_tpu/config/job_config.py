@@ -22,7 +22,18 @@ import sys
 import tomllib
 from collections import defaultdict
 from dataclasses import dataclass, field, fields
-from typing import Any, Dict, Optional, Type
+from typing import Any, Dict, Optional, Type, Union, get_args, get_origin, get_type_hints
+
+
+def _optional_base_type(annotation) -> type:
+    """The X of an ``Optional[X]`` annotation when X is a scalar CLI type;
+    str otherwise (argparse needs a concrete converter for None-default
+    fields, and `type(None)` defaults are annotation-only information)."""
+    if annotation is not None and get_origin(annotation) is Union:
+        args = [a for a in get_args(annotation) if a is not type(None)]
+        if len(args) == 1 and args[0] in (int, float, str):
+            return args[0]
+    return str
 
 
 @dataclass
@@ -312,6 +323,7 @@ class JobConfig:
 
     def _build_parser(self) -> None:
         for section_name, section_cls in self._sections.items():
+            hints = get_type_hints(section_cls)
             for f in fields(section_cls):
                 arg_name = f"--{section_name}.{f.name}"
                 meta = f.metadata
@@ -321,9 +333,10 @@ class JobConfig:
                     kwargs["action"] = action
                 else:
                     if f.default is None:
-                        # Optional[str] / Optional[int]: parse as str unless the
-                        # field name hints at an int; None default either way.
-                        kwargs["type"] = str
+                        # Optional[X]: parse as X from the dataclass annotation
+                        # (a str-parsed `--model.latent_height 4` would poison
+                        # shape math downstream); default None either way.
+                        kwargs["type"] = _optional_base_type(hints.get(f.name))
                         kwargs["default"] = None
                     else:
                         kwargs["type"] = type(f.default)

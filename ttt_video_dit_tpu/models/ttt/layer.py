@@ -161,13 +161,16 @@ class TTTLayer(nn.Module):
         # projections; outside-XLA preprocessing costs ~100 ms/step in
         # elementwise passes + layout copies at the 3 s d3072 geometry.
         # The fused backward (and with it the fused preproc) requires a
-        # tiling-legal head group <= 8 at the PER-SHARD head count — 12 local
-        # heads (48 under tp=4) has none and falls back to the non-fused
-        # path (ops/pallas/ttt_backward.py:fused_bwd_supported).
+        # tiling-legal head group <= 8 at the PER-SHARD head count. 12 local
+        # heads (48 under tp=4 — the reference's 63 s shape) qualifies via
+        # the head-major eta layout (G=6) whenever the checkpoint group is a
+        # multiple of 8 (default 16) or covers all of NC
+        # (ops/pallas/ttt_backward.py:fused_bwd_supported).
         from ttt_video_dit_tpu.ops.pallas.sharded import local_head_count
         from ttt_video_dit_tpu.ops.pallas.ttt_backward import fused_bwd_supported
 
-        fused_ok = fused_bwd_supported(local_head_count(H))
+        _K = min(max(cfg.scan_checkpoint_group_size, 1), NC)
+        fused_ok = fused_bwd_supported(local_head_count(H), _K, NC)
         fuse_pre = (cfg.use_kernel and cfg.use_fused_backward and cfg.fuse_ttt_preproc
                     and fused_ok)
         if fuse_pre:

@@ -94,14 +94,37 @@ class VideoAutoencoder:
         return self
 
     # ------------------------------------------------------- tiled encode
-    def encode_first_stage(self, x, unregularized: bool = True, window: int = 48):
+    def encode_first_stage(self, x, unregularized: bool = True, window: int = 48,
+                           rng=None, noise=None, multiply_by_scale_factor: bool = False):
         """x: [B, C, T, H, W] pixels in [-1, 1]; T = n*window + 1.
 
-        Returns latent posterior params [B, 2*z, T_lat, h, w] (unregularized)
-        or a sampled latent (regularized not implemented — precompute stores
-        the posterior; reference: data/precomp_video.py saves unregularized).
+        Returns latent posterior params [B, 2*z, T_lat, h, w] when
+        ``unregularized`` (the precompute path; reference:
+        data/precomp_video.py saves posteriors), or a diagonal-Gaussian
+        SAMPLE [B, z, T_lat, h, w] when ``unregularized=False`` — the
+        reference's ``DiagonalGaussianRegularizer(sample=True)`` applied to
+        the encoder output (reference: ttt/models/vae/autoencoder.py:200-233,
+        regularizers.py:87-105). The reference regularizes per temporal
+        window inside ``encode``; sampling is elementwise, so regularizing
+        the concatenated posterior with the same noise values is identical.
+        ``noise`` (same shape as the mean) overrides the ``rng`` draw —
+        parity tests inject the reference's noise tensor through it.
+        ``multiply_by_scale_factor`` mirrors autoencoder.py:232-233.
         """
-        assert unregularized, "store posteriors; sample at load time (reference precompute behavior)"
+        out = self._encode_posterior(x, window)
+        if not unregularized:
+            mean, logvar = jnp.split(out, 2, axis=1)
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            std = jnp.exp(0.5 * logvar)
+            if noise is None:
+                assert rng is not None, "regularized encode samples: pass rng= or noise="
+                noise = jax.random.normal(rng, mean.shape, mean.dtype)
+            out = mean + std * jnp.asarray(noise, mean.dtype)
+        if multiply_by_scale_factor:
+            out = out * self.scale_factor
+        return out
+
+    def _encode_posterior(self, x, window: int = 48):
         x = _to_channels_last(jnp.asarray(x, jnp.float32))
         T = x.shape[1]
         # Reference semantics (reference: ttt/models/vae/autoencoder.py:200-214,

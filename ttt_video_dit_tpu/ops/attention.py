@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import functools
 import math
+import re
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +228,40 @@ def _fused_bwd_ok(batch: int, S: int, H: int, F: int, bwd_block: int,
 _INTERPRET = False
 
 
+@functools.lru_cache(maxsize=1)
+def _check_splash_abi() -> None:
+    """Fail loudly at first use if the splash library's private residual ABI
+    moved. ``call_bwd`` below hand-builds the positional residual 9-tuple
+    (q, k, v, segment_ids, sinks, out, logsumexp, dq_mi, dkv_mi) and reads
+    grads from positions 3-5 of the backward's 8-tuple return; that tuple
+    recently grew a 'sinks' field, so a JAX upgrade could silently reorder or
+    extend it and corrupt gradients instead of erroring. Checked once per
+    process against the library's own type aliases/annotations."""
+    import inspect
+    import typing
+
+    from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
+
+    res_fields = typing.get_args(splash.SplashResidualsType)
+    if len(res_fields) != 9:
+        raise RuntimeError(
+            "splash ABI drift: SplashResidualsType has "
+            f"{len(res_fields)} fields, expected 9 (q, k, v, segment_ids, "
+            "sinks, out, logsumexp, dq_mask_info, dkv_mask_info). Re-derive "
+            "ops/attention.py:call_bwd against this JAX version."
+        )
+    src = inspect.getsource(splash._splash_attention_bwd)
+    unpack = re.sub(r"\s+", " ", src)
+    expected = "( q, k, v, segment_ids, sinks, o, logsumexp, dq_mask_info, dkv_mask_info, ) = res"
+    if expected not in unpack:
+        raise RuntimeError(
+            "splash ABI drift: _splash_attention_bwd no longer unpacks the "
+            "residual tuple in the (q, k, v, segment_ids, sinks, o, "
+            "logsumexp, dq_mask_info, dkv_mask_info) order that "
+            "ops/attention.py:call_bwd builds. Re-derive call_bwd."
+        )
+
+
 def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, fwd_lean: bool = False, bwd_lean: bool = False):
     """Splash call with TOKEN-MAJOR saved residuals: (q, k, v) [H, S, F] ->
     out [S, H*F].
@@ -249,6 +285,7 @@ def _splash_kernel(S: int, H: int, valid: int, fused_bwd: bool, bwd_block: int, 
     torch.utils.checkpoint); this is the TPU-shaped improvement on that."""
     from jax.experimental.pallas.ops.tpu.splash_attention import splash_attention_kernel as splash
 
+    _check_splash_abi()
     mask, bs = _splash_spec(S, H, valid, fused_bwd, bwd_block, fwd_lean, bwd_lean)
     res_kernel = splash.make_splash_mha(
         mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs, interpret=_INTERPRET,
@@ -425,6 +462,17 @@ def _splash_dispatch(q, k, v, *, block, conservative, windows, param_count, rese
     tp = TENSOR if (TENSOR in mesh.axis_names and mesh.shape[TENSOR] > 1
                     and H % mesh.shape[TENSOR] == 0) else None
     if not data and tp is None:
+        # No legal shard_map spec: GSPMD cannot partition pallas_call, so
+        # this compiles via replicate-and-reslice (every chip runs the full
+        # attention) or fails outright. Loud, like the involuntary-remat
+        # check in scripts/aot_scale_check.py.
+        warnings.warn(
+            f"splash attention cannot be shard_mapped on mesh {dict(mesh.shape)}: "
+            f"data axes do not divide the sample batch {B} and tensor does not "
+            f"divide {H} heads — the kernel will run fully replicated per chip",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         return call(q, k, v)
     spec = P(data or None, None, tp, None)
     fn = jax.shard_map(call, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)

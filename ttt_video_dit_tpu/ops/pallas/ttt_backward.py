@@ -101,6 +101,25 @@ def _rowsum_rep(x, ones_cs):
     return _bmm(ones_cs, x)
 
 
+def _eta_in(ref, hm: bool, i):
+    """One step's eta/gate rows [G, CS] from the kernel's eta block — either
+    the chunk-major block [1, K, G, CS] (G on the sublane axis: tiling-legal
+    only when G % 8 == 0 or G == H) or the head-major block [1, G, K, CS]
+    (K on the sublane axis: legal for ANY divisor G when K % 8 == 0 or
+    K == NC — this is what makes a fused backward possible at 12 local
+    heads, i.e. 48 global heads under tp=4, where no old-style group
+    exists; see pick_bwd_head_group)."""
+    return ref[0, :, i] if hm else ref[0, i]
+
+
+def _deta_out(ref, hm: bool, j, val):
+    """Counterpart store of one step's deta rows [G, CS]."""
+    if hm:
+        ref[0, :, j] = val
+    else:
+        ref[0, j] = val
+
+
 # ------------------------------------------------- fused-preproc VJP helpers
 # (counterparts of ttt_forward._fused_preproc; validated against jax autodiff
 # of the XLA-side preprocessing in tests/test_pallas_kernels.py)
@@ -143,7 +162,7 @@ def _rope_vjp(u, cos, sin, R):
 # ------------------------------------------------------------------ MLP bwd
 
 
-def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *refs):
+def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, eta_hm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, w2ck_ref, b2ck_ref, dout_ref,
@@ -221,7 +240,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *r
         b2_stash[i] = b2[:, 0:8] * 0.125
 
         _, XK, target, _ = load_step(i, need_q=False)
-        eta = _eta_from_gate(eta_ref[0, i], eta_scale)  # [G, CS, 1]
+        eta = _eta_from_gate(_eta_in(eta_ref, eta_hm, i), eta_scale)  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         X2 = gelu_tanh(Z1)
@@ -256,7 +275,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *r
         b2 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b2_stash[j])
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
-        eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
+        eta = _eta_from_gate(_eta_in(eta_ref, eta_hm, j), eta_scale)  # [G, CS, 1]
         d_out = _x_in(dout_ref, tm, G_heads, j).astype(jnp.float32)
 
         # Recompute the step's forward intermediates.
@@ -383,11 +402,11 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *r
         _x_out(dxk_ref, dXK.astype(dxk_ref.dtype), tm, j)
         _x_out(dxv_ref, dXV.astype(dxv_ref.dtype), tm, j)
         if eta_scale is None:
-            deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+            _deta_out(deta_ref, eta_hm, j, de[..., 0].astype(deta_ref.dtype))
         else:
             # d_gate = d_eta * d(sigmoid(g)*scale)/dg = de * eta * (1 - sigma)
             sig = eta * (1.0 / eta_scale)
-            deta_ref[0, j] = (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype)
+            _deta_out(deta_ref, eta_hm, j, (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype))
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         dw2_c[:] = dW2
@@ -409,7 +428,7 @@ def _mlp_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *r
 # ---------------------------------------------------------------- linear bwd
 
 
-def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, *refs):
+def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool, eta_hm: bool, *refs):
     if pre:
         (xq_ref, xk_ref, xv_ref, cos_ref, sin_ref, eta_ref, lnw_ref, lnb_ref,
          w1ck_ref, b1ck_ref, dout_ref,
@@ -466,7 +485,7 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool,
         b1_stash[i] = b1[:, 0:8] * 0.125
 
         _, XK, target, _ = load_step(i, need_q=False)
-        eta = _eta_from_gate(eta_ref[0, i], eta_scale)  # [G, CS, 1]
+        eta = _eta_from_gate(_eta_in(eta_ref, eta_hm, i), eta_scale)  # [G, CS, 1]
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
         z1_hat, std1 = _ln_stats(Z1)
@@ -485,7 +504,7 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool,
         b1 = _bmm(jnp.ones((G_heads, CS, 8), jnp.float32), b1_stash[j])
 
         XQ, XK, target, pre_res = load_step(j, need_q=True)
-        eta = _eta_from_gate(eta_ref[0, j], eta_scale)  # [G, CS, 1]
+        eta = _eta_from_gate(_eta_in(eta_ref, eta_hm, j), eta_scale)  # [G, CS, 1]
         d_out = _x_in(dout_ref, tm, G_heads, j).astype(jnp.float32)
 
         Z1 = _bmm(XK, W1.astype(dt)) + b1
@@ -555,11 +574,11 @@ def _linear_bwd_kernel(K: int, NG: int, NC: int, pre: bool, eta_scale, tm: bool,
         _x_out(dxk_ref, dXK.astype(dxk_ref.dtype), tm, j)
         _x_out(dxv_ref, dXV.astype(dxv_ref.dtype), tm, j)
         if eta_scale is None:
-            deta_ref[0, j] = de[..., 0].astype(deta_ref.dtype)
+            _deta_out(deta_ref, eta_hm, j, de[..., 0].astype(deta_ref.dtype))
         else:
             # d_gate = d_eta * d(sigmoid(g)*scale)/dg = de * eta * (1 - sigma)
             sig = eta * (1.0 / eta_scale)
-            deta_ref[0, j] = (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype)
+            _deta_out(deta_ref, eta_hm, j, (de * eta * (1.0 - sig))[..., 0].astype(deta_ref.dtype))
         dw1_c[:] = dW1
         db1_c[:] = db1_new
         return 0
@@ -585,7 +604,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
         B, H, NC, CS, F = XQ.shape
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
-    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=False)
+    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=False, NC=NC)
     HG = H // G
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
@@ -595,9 +614,18 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
     else:
         x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
     # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
-    # is padded 128x in HBM (see ttt_forward._specs).
-    eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
-                            memory_space=pltpu.VMEM)
+    # is padded 128x in HBM (see ttt_forward._specs). When the chunk-major
+    # block (G on the sublane axis) is tiling-illegal for this G, eta rides
+    # HEAD-major [B, H, NC, CS] with K on the sublane axis instead (_eta_in).
+    eta_hm = not (G % 8 == 0 or G == H)
+    if eta_hm:
+        eta_spec = pl.BlockSpec((1, G, K, CS), lambda i, n: (i // HG, i % HG, NG - 1 - n, 0),
+                                memory_space=pltpu.VMEM)
+        eta_in, deta_shape = eta, (B, H, NC, CS)
+    else:
+        eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
+                                memory_space=pltpu.VMEM)
+        eta_in, deta_shape = jnp.transpose(eta, (0, 2, 1, 3)), (B, NC, H, CS)
     ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
     ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
@@ -610,7 +638,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
 
     x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
     outs = pl.pallas_call(
-        functools.partial(_linear_bwd_kernel, K, NG, NC, pre, eta_scale, token_major),
+        functools.partial(_linear_bwd_kernel, K, NG, NC, pre, eta_scale, token_major, eta_hm),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F), ck_spec(8, F), x_spec(F)],
@@ -620,7 +648,7 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
-            jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
+            jax.ShapeDtypeStruct(deta_shape, jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F), jnp.float32),
@@ -637,36 +665,63 @@ def ttt_linear_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, eta_in,
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, g,
     )
     # deta back to the caller's [B, H, NC, CS] layout.
-    return outs[:3] + (jnp.transpose(outs[3], (0, 2, 1, 3)),) + outs[4:]
+    deta = outs[3] if eta_hm else jnp.transpose(outs[3], (0, 2, 1, 3))
+    return outs[:3] + (deta,) + outs[4:]
 
 
-def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: bool) -> int:
+def _eta_hm_legal(K: int | None, NC: int | None) -> bool:
+    """Whether the HEAD-major eta layout ([B, H, NC, CS], K on the sublane
+    axis) is tiling-legal: blocks of shape (K, CS) need K % 8 == 0 or
+    K == NC. K defaults to 16 (config remat.scan_checkpoint_group_size), so
+    this holds in practice; an exotic K (e.g. 10 with NC > 10) falls back to
+    the chunk-major-only group rule."""
+    return K is not None and (K % 8 == 0 or (NC is not None and K == NC))
+
+
+def _legal_groups(num_heads: int, eta_hm_ok: bool) -> list[int]:
+    """Backward head groups under the compile-proven G <= 8 VMEM cap.
+    Chunk-major eta blocks ([.., G, CS], G on the sublane axis) additionally
+    need G % 8 == 0 or G == num_heads; the head-major layout lifts that and
+    admits ANY divisor <= 8."""
+    return [g for g in range(1, 9)
+            if num_heads % g == 0 and (eta_hm_ok or g % 8 == 0 or g == num_heads)]
+
+
+def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: bool,
+                        NC: int | None = None) -> int:
     """Head group sized so the bf16 state stash + pipelined IO blocks fit in
     VMEM (limit raised to 100 MB; 48 MB budget leaves pipelining headroom).
 
-    The eta/deta blocks are [.., G, CS], so TPU tiling constrains G exactly
-    like the forward kernel: G must be a multiple of 8 OR equal num_heads
-    (a G=6 pick at 12 local heads — H=48 under tp=4 — failed Pallas lowering
-    in the 63 s pod-config AOT compile). Measured v5e (16 heads, K=16, CS=64,
-    F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms; G=16 fails to compile (VMEM),
-    and the forced G=12 at 12 local heads fails too (both the detached
-    v5e-256 AOT compile and the live remote compiler die on the kernel's
-    VMEM stack) — so the compile-proven cap is a HARD G <= 8. Head counts
-    with no tiling-legal group under the cap (e.g. 12) don't support the
-    fused backward at all: fused_bwd_supported gates them to the non-fused
-    path (layer.py)."""
-    assert fused_bwd_supported(num_heads), (
-        f"fused TTT backward unsupported at {num_heads} heads: no head group"
-        f" <= 8 is tiling-legal (divisor of {num_heads}, multiple of 8 or =="
-        f" {num_heads}); shard so local heads are a multiple of 8 or <= 8"
-        f" (e.g. tp=2/tp=8 for 48 global heads, not tp=4)"
-    )
+    TPU tiling admits two eta layouts: chunk-major (G on the sublane axis —
+    G must be a multiple of 8 or equal num_heads; a bare G=6 pick at 12
+    local heads failed Pallas lowering in the 63 s pod-config AOT compile)
+    and head-major (K on the sublane axis — any divisor G, provided
+    K % 8 == 0 or K == NC; see _eta_in). Measured v5e (16 heads, K=16,
+    CS=64, F=64, ttt-mlp): G=8 10.2 ms vs G=2 13.3 ms; G=16 fails to
+    compile (VMEM), and the forced G=12 at 12 local heads fails too (both
+    the detached v5e-256 AOT compile and the live remote compiler die on
+    the kernel's VMEM stack) — so the compile-proven cap is a HARD G <= 8.
+    With the head-major layout, 12 local heads (48 global under tp=4, the
+    reference's 63 s shape) gets G=6. Head counts with no legal group at
+    all fall to the non-fused path (fused_bwd_supported, layer.py)."""
+    valid = _legal_groups(num_heads, _eta_hm_legal(K, NC))
+    if not valid:
+        # Explicit raise (not assert): must survive `python -O`, and an empty
+        # `valid` would otherwise surface as an opaque min()-of-empty error
+        # deep in tracing.
+        raise ValueError(
+            f"fused TTT backward unsupported at {num_heads} heads with "
+            f"checkpoint group K={K} (NC={NC}): no head group <= 8 is "
+            f"tiling-legal. Use K % 8 == 0 (any divisor group then works), "
+            f"or shard so local heads have a divisor that is a multiple of "
+            f"8 or <= 8."
+        )
     if mlp:
         # W1/W2 stash bf16, b stashes fp32 8-row compressed.
         stash = K * (2 * head_dim * 4 * head_dim * 2 + 8 * 4 * head_dim * 4 + 8 * head_dim * 4)
@@ -675,20 +730,21 @@ def pick_bwd_head_group(num_heads: int, head_dim: int, K: int, CS: int, mlp: boo
     io = 2 * 9 * K * CS * head_dim * 2  # 5 in + 4 out blocks, double-buffered, bf16
     budget = 48 * 1024 * 1024
     cap = budget // max(stash + io, 1)
-    valid = [g for g in range(1, 9)
-             if num_heads % g == 0 and (g % 8 == 0 or g == num_heads)]
     in_budget = [g for g in valid if g <= max(cap, 1)]
     return max(in_budget) if in_budget else min(valid)
 
 
-def fused_bwd_supported(num_heads: int) -> bool:
+def fused_bwd_supported(num_heads: int, checkpoint_group: int | None = None,
+                        num_chunks: int | None = None) -> bool:
     """True iff a tiling-legal backward head group exists under the
-    compile-proven G <= 8 cap: some divisor g of num_heads with g % 8 == 0
-    or g == num_heads. False at e.g. 12 local heads (48 global under tp=4),
-    where the only legal group is 12 and its kernel exceeds VMEM — callers
-    fall back to the non-fused backward (or pick a different tp)."""
-    return any(num_heads % g == 0 and (g % 8 == 0 or g == num_heads)
-               for g in range(1, 9))
+    compile-proven G <= 8 cap. With the chunk-major eta layout that means a
+    divisor g of num_heads with g % 8 == 0 or g == num_heads; when the
+    head-major layout is available (checkpoint_group % 8 == 0 or ==
+    num_chunks — pass them when known) ANY divisor <= 8 qualifies, which
+    covers 12 local heads (48 global under tp=4, the reference's 63 s
+    shape: /root/reference/configs/train/ttt-mlp/63s.toml:44) via G=6.
+    Callers that can't supply K get the conservative chunk-major answer."""
+    return bool(_legal_groups(num_heads, _eta_hm_legal(checkpoint_group, num_chunks)))
 
 
 def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
@@ -718,7 +774,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     F4 = w1_ck.shape[-1]
     K = min(max(checkpoint_group_size, 1), NC)
     NG = pl.cdiv(NC, K)  # ragged last group handled in-kernel (dynamic bound)
-    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=True)
+    G = head_group or pick_bwd_head_group(H, F, K, CS, mlp=True, NC=NC)
     HG = H // G
 
     rev_x = lambda i, n: (i // HG, i % HG, NG - 1 - n, 0, 0)
@@ -728,9 +784,18 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
     else:
         x_spec = lambda f: pl.BlockSpec((1, G, K, CS, f), rev_x, memory_space=pltpu.VMEM)
     # eta/deta ride as [B, NC, H, CS] (rank 4) — a trailing singleton lane dim
-    # is padded 128x in HBM (see ttt_forward._specs).
-    eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
-                            memory_space=pltpu.VMEM)
+    # is padded 128x in HBM (see ttt_forward._specs). When the chunk-major
+    # block (G on the sublane axis) is tiling-illegal for this G, eta rides
+    # HEAD-major [B, H, NC, CS] with K on the sublane axis instead (_eta_in).
+    eta_hm = not (G % 8 == 0 or G == H)
+    if eta_hm:
+        eta_spec = pl.BlockSpec((1, G, K, CS), lambda i, n: (i // HG, i % HG, NG - 1 - n, 0),
+                                memory_space=pltpu.VMEM)
+        eta_in, deta_shape = eta, (B, H, NC, CS)
+    else:
+        eta_spec = pl.BlockSpec((1, K, G, CS), lambda i, n: (i // HG, NG - 1 - n, i % HG, 0),
+                                memory_space=pltpu.VMEM)
+        eta_in, deta_shape = jnp.transpose(eta, (0, 2, 1, 3)), (B, NC, H, CS)
     ln_spec = pl.BlockSpec((G, CS, F), lambda i, n: (i % HG, 0, 0), memory_space=pltpu.VMEM)
     ck_spec = lambda d0, d1: pl.BlockSpec((1, G, 1, d0, d1), rev_x, memory_space=pltpu.VMEM)
     state_map = lambda i, n: (i // HG, i % HG, 0, 0)
@@ -743,7 +808,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
 
     x_shape = (B, NC, CS, H * F) if token_major else (B, H, NC, CS, F)
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre, eta_scale, token_major),
+        functools.partial(_mlp_bwd_kernel, K, NG, NC, pre, eta_scale, token_major, eta_hm),
         grid=(B * HG, NG),
         in_specs=[x_spec(F), x_spec(F), x_spec(F), *rope_specs, eta_spec, ln_spec, ln_spec,
                   ck_spec(F, F4), ck_spec(8, F4), ck_spec(F4, F), ck_spec(8, F),
@@ -755,7 +820,7 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
             jax.ShapeDtypeStruct(x_shape, XQ.dtype),
-            jax.ShapeDtypeStruct((B, NC, H, CS), jnp.float32),
+            jax.ShapeDtypeStruct(deta_shape, jnp.float32),
             jax.ShapeDtypeStruct((B, H, F, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, CS, F4), jnp.float32),
             jax.ShapeDtypeStruct((B, H, F4, F), jnp.float32),
@@ -780,10 +845,11 @@ def ttt_mlp_backward(XQ, XK, XV, eta, ln_w, ln_b, w1_ck, b1_ck, w2_ck, b2_ck, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        XQ, XK, XV, *rope_in, jnp.transpose(eta, (0, 2, 1, 3)),
+        XQ, XK, XV, *rope_in, eta_in,
         jnp.broadcast_to(ln_w.astype(jnp.float32)[:, None, :], (H, CS, F)),
         jnp.broadcast_to(ln_b.astype(jnp.float32)[:, None, :], (H, CS, F)),
         w1_ck, b1_ck, w2_ck, b2_ck, g,
     )
     # deta back to the caller's [B, H, NC, CS] layout.
-    return outs[:3] + (jnp.transpose(outs[3], (0, 2, 1, 3)),) + outs[4:]
+    deta = outs[3] if eta_hm else jnp.transpose(outs[3], (0, 2, 1, 3))
+    return outs[:3] + (deta,) + outs[4:]

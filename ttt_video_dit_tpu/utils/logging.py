@@ -35,7 +35,11 @@ class MultiLogger:
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in exp_name)
         self.log_path = os.path.join(dump_folder, f"log_{safe}_{stamp}.txt")
-        self.stats_path = os.path.join(dump_folder, "all_stats.json")
+        # Append-only JSONL: one record per step. The reference rewrites its
+        # whole ``all_stat_dict.pth`` every step (logging.py:126-137) — O(n²)
+        # host time over a 250k-step schedule; a JSONL append is O(1) and the
+        # full-file compaction happens only at checkpoint snapshots.
+        self.stats_path = os.path.join(dump_folder, "all_stats.jsonl")
         self._fh = open(self.log_path, "a")
 
         if enable_wandb:
@@ -68,9 +72,8 @@ class MultiLogger:
         self.stats.append(record)
         if self._wandb is not None:
             self._wandb.log(stats, step=step)
-        # Persist the full history each step (reference: logging.py:126-137).
-        with open(self.stats_path, "w") as f:
-            json.dump(self.stats, f)
+        with open(self.stats_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def alert(self, title: str, text: str) -> None:
         """Send a wandb alert (reference: ttt/infra/logging.py:44-62); logs
@@ -88,12 +91,22 @@ class MultiLogger:
         resuming without one just warns, like the reference."""
         if not self.is_main:
             return
-        path = os.path.join(src_dir, "all_stats.json")
-        if not os.path.exists(path):
+        path = os.path.join(src_dir, "all_stats.jsonl")
+        legacy = os.path.join(src_dir, "all_stats.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                self.stats = [json.loads(line) for line in f if line.strip()]
+        elif os.path.exists(legacy):  # pre-JSONL checkpoints
+            with open(legacy) as f:
+                self.stats = json.load(f)
+        else:
             self.write("WARNING: resuming without a stats-history snapshot")
             return
-        with open(path) as f:
-            self.stats = json.load(f)
+        # Compact the live file to the restored history so post-resume
+        # appends continue from the checkpointed step, not a stale tail.
+        with open(self.stats_path, "w") as f:
+            for record in self.stats:
+                f.write(json.dumps(record) + "\n")
 
     def snapshot_stats(self, dst_dir: str) -> None:
         """Copy the stats history into a checkpoint directory
@@ -101,8 +114,9 @@ class MultiLogger:
         if not self.is_main:
             return
         os.makedirs(dst_dir, exist_ok=True)
-        with open(os.path.join(dst_dir, "all_stats.json"), "w") as f:
-            json.dump(self.stats, f)
+        with open(os.path.join(dst_dir, "all_stats.jsonl"), "w") as f:
+            for record in self.stats:
+                f.write(json.dumps(record) + "\n")
 
     def init_log(self, job_config, model_config, num_params: int) -> None:
         self.write(f"experiment: {getattr(job_config.job, 'exp_name', '?')}")

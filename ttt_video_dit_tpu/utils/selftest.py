@@ -89,6 +89,31 @@ def kernel_selftest(log: Optional[Callable[[str], None]] = None, interpret: bool
         for g, w, nm in zip(got[1], want[1], ("dq", "dk", "dv")):
             check(f"{name} {nm}", g, w, 2e-2)
 
+    # 12 local heads (48 global under tp=4 — the reference's 63 s shape,
+    # /root/reference/configs/train/ttt-mlp/63s.toml:44): no chunk-major
+    # backward head group exists, so this exercises the HEAD-major eta
+    # layout (G=6, K on the sublane axis — ops/pallas/ttt_backward.py
+    # _eta_in) compiled on the real chip, ragged last group included
+    # (NC=9, K=8).
+    H12, NC12, K12 = 12, 9, 8
+    q12, k12, v12 = f(B, H12, NC12, CS, F), f(B, H12, NC12, CS, F), f(B, H12, NC12, CS, F)
+    e12 = jnp.abs(f(B, H12, NC12, CS)) * 0.01
+    lnw12, lnb12 = jnp.abs(f(H12, F)) + 0.5, f(H12, F) * 0.1
+    a12 = (f(B, H12, F, 4 * F) * 0.02, f(B, H12, 1, 4 * F) * 0.01,
+           f(B, H12, 4 * F, F) * 0.02, f(B, H12, 1, F) * 0.01)
+
+    def loss_k12(q, k, v):
+        return jnp.sum(ttt_vjp.ttt_mlp_fused(K12, interpret, True, q, k, v, e12, lnw12, lnb12, *a12) ** 2)
+
+    def loss_o12(q, k, v):
+        return jnp.sum(ttt_scan.ttt_mlp(q, k, v, e12, lnw12, lnb12, *a12, K12) ** 2)
+
+    got = jax.jit(jax.value_and_grad(loss_k12, argnums=(0, 1, 2)))(q12, k12, v12)
+    want = jax.jit(jax.value_and_grad(loss_o12, argnums=(0, 1, 2)))(q12, k12, v12)
+    check("ttt_mlp h12 g6 fwd", got[0], want[0], 2e-4)
+    for g, w, nm in zip(got[1], want[1], ("dq", "dk", "dv")):
+        check(f"ttt_mlp h12 g6 {nm}", g, w, 2e-2)
+
     # Fused eta gate: kernel takes pre-sigmoid logits + eta_scale (fused-
     # preproc mode with rope tables); oracle applies sigmoid*scale in XLA.
     from ttt_video_dit_tpu.ops.rope import interleaved_tables_prefixed, precompute_rope_3d
