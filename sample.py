@@ -84,7 +84,11 @@ def main(job_config) -> None:
 
     eval_cfg = job_config.eval
     model_config = ModelConfig.get_preset(job_config.model.size, job_config.model.video_length, job_config)
-    model_config.use_kernel = True  # fused Pallas forward wins at inference
+    # Fused Pallas forward wins at inference — but only on real hardware; on
+    # CPU (smoke runs) the kernels would run in single-threaded interpret
+    # mode, turning one denoise eval into tens of minutes. The lax.scan
+    # oracle path is the same math (tests/test_pallas_kernels.py).
+    model_config.use_kernel = jax.default_backend() == "tpu"
     model = CogVideoX(model_config)
 
     # --- prompts ---------------------------------------------------------

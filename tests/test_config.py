@@ -73,6 +73,23 @@ def test_optional_int_cli_fields_parse_typed():
     assert jc2.model.latent_height is None
 
 
+def test_depth_width_cli_overrides():
+    """--model.num_layers/model_dim/num_heads override the preset (the
+    depth-reduced single-chip evals, e.g. the fabricated-5B sample artifact
+    in scripts/fabricated_e2e_sample.py); unset, the preset stands."""
+    toml = osp.join(CONFIG_ROOT, "eval", "ttt-mlp", "3s.toml")
+    jc = JobConfig(eval_mode=True).parse_args(
+        ["--job.config_file", toml, "--model.num_layers", "12"]
+    )
+    mc = ModelConfig.get_preset(jc.model.size, jc.model.video_length, jc)
+    assert mc.num_layers == 12 and mc.model_dim == 3072 and mc.num_heads == 48
+    jc2 = JobConfig(eval_mode=True).parse_args(
+        ["--job.config_file", toml, "--model.model_dim", "256", "--model.num_heads", "4"]
+    )
+    mc2 = ModelConfig.get_preset(jc2.model.size, jc2.model.video_length, jc2)
+    assert mc2.model_dim == 256 and mc2.num_heads == 4 and mc2.num_layers == 42
+
+
 STAGE_TOMLS = [t for t in TRAIN_TOMLS if "debug" not in t]
 
 

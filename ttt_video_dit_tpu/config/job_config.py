@@ -84,6 +84,17 @@ class ModelSection:
     latent_width: Optional[int] = field(
         default=None, metadata={"help": "Override latent token-grid width (debug/smoke geometries)"}
     )
+    num_layers: Optional[int] = field(
+        default=None,
+        metadata={"help": "Override preset depth (depth-reduced evals; e.g. the single-chip "
+                  "real-width fabricated-5B sample artifact)"},
+    )
+    model_dim: Optional[int] = field(
+        default=None, metadata={"help": "Override preset model dim (width-reduced smoke runs)"}
+    )
+    num_heads: Optional[int] = field(
+        default=None, metadata={"help": "Override preset head count (with --model.model_dim)"}
+    )
     scan_layers: bool = field(
         default=False,
         metadata={

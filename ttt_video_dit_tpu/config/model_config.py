@@ -182,6 +182,12 @@ class ModelConfig:
             self.latent_height = job_config.model.latent_height
         if job_config.model.latent_width is not None:
             self.latent_width = job_config.model.latent_width
+        if job_config.model.num_layers is not None:
+            self.num_layers = job_config.model.num_layers
+        if job_config.model.model_dim is not None:
+            self.model_dim = job_config.model.model_dim
+        if job_config.model.num_heads is not None:
+            self.num_heads = job_config.model.num_heads
         # TOML configs may express this as 1e6 (float) to disable checkpoints.
         self.scan_checkpoint_group_size = int(job_config.remat.scan_checkpoint_group_size)
         self.dtype = job_config.parallelism.fsdp_unsharded_dtype
