@@ -1,21 +1,19 @@
 #!/bin/bash
 # Round-5 AOT queue: serial (jax.experimental.topologies holds
-# /tmp/libtpu_lockfile — ONE topology process at a time).
+# /tmp/libtpu_lockfile — ONE topology process at a time). Each 63 s 42L
+# compile is ~75 min of XLA time; order is by evidentiary value.
 #
-# Probe first (3s @ 2L, minutes): validates the tp=4 fused-backward path +
-# grad-accum batch reshape through the detached topology compiler before
-# committing to 75-minute 63s compiles.
+# Already-landed rows (docs/aot_scale_r5.json):
+#   - 3s 2L v5p-8 rep1,fsdp2,tp4 accum2 probe: FITS (48.9/95 GiB) — validates
+#     the G=6 head-major fused TTT backward + grad-accum reshape under the
+#     detached topology compiler.
+#   - 63s 42L v5p-128 rep8,fsdp8,tp2 (shipped-TOML shape): OOM 96.7/95.7 GiB,
+#     dominated by the bf16[42,1,170775,3072] stacked scan-layer boundary save.
 set -u
 cd "$(dirname "$0")/.."
 OUT=docs/aot_scale_r5.json
 LOG=/tmp/aot_r5_queue.log
 exec >> "$LOG" 2>&1
-
-echo "=== $(date) probe: 3s 2L v5p-8 rep1,fsdp2,tp4 accum2"
-timeout 3600 python scripts/aot_scale_check.py \
-  --config configs/train/ttt-mlp/3s.toml --chip v5p --parallelism 1,2,4 \
-  --layers 2 --override=--training.grad_accum_steps --override=2 \
-  --json /tmp/aot_r5_probe.jsonl || { echo "PROBE FAILED rc=$?"; exit 1; }
 
 echo "=== $(date) row A: 63s 42L v5p-128 rep4,fsdp8,tp4 accum2"
 timeout 10800 python scripts/aot_scale_check.py \
@@ -28,5 +26,14 @@ timeout 10800 python scripts/aot_scale_check.py \
   --config configs/train/ttt-mlp/63s.toml --chip v5p --parallelism 2,8,4 \
   --override=--training.grad_accum_steps --override=4 \
   --json "$OUT" || echo "ROW B rc=$?"
+
+echo "=== $(date) row C: gated CI AOT test (63s 2L BS2 v5p-8), artifact committed"
+TTT_RUN_AOT_TEST=1 TTT_AOT_ARTIFACT=tests/artifacts/aot_63s_ci.jsonl \
+  timeout 7200 python -m pytest tests/test_aot_scale.py -q || echo "ROW C rc=$?"
+
+echo "=== $(date) row D: 63s 42L v5e-256 rep16,fsdp4,tp4 (reference's literal 256-chip shape, G=6 fused bwd)"
+timeout 10800 python scripts/aot_scale_check.py \
+  --config configs/train/ttt-mlp/63s.toml --chip v5e --parallelism 16,4,4 \
+  --json "$OUT" || echo "ROW D rc=$?"
 
 echo "=== $(date) queue done"

@@ -309,15 +309,14 @@ def main():
         jobs = [
             ("configs/train/ttt-mlp/3s.toml", "v5e", None),  # rep8 x fsdp8 = v5e-64
             ("configs/train/ttt-mlp/3s.toml", "v5p", None),  # same shape on v5p-64
-            # North star: 63 s 5B 42L from the shipped TOML — v5p-128 as
-            # rep8 x fsdp8 x tp2 (tp=2 keeps 24 local heads = the measured
-            # G=8 fused TTT backward; tp=4's 12 local heads would force the
-            # slower non-fused one). Smaller clusters fail on the remat
-            # boundary-save floor of B*L*D*bf16/n_chips = 5.8 TB/n_chips:
-            # v5e-256 needs 22.7 GB/chip (>16) and v5p-64 needs 91 GB/chip
-            # + 10.8 GB params/opt (>95) at ANY mesh shape — arithmetic
-            # findings, not 75-minute compiles (docs/performance.md
-            # "Pod-scale AOT evidence").
+            # 63 s 5B 42L from the shipped TOML — v5p-128 as
+            # rep4 x fsdp8 x tp4 + grad-accum 2 (tp=4 is fused-backward-
+            # legal at 12 local heads since the G=6 head-major eta layout;
+            # accumulation halves the live micro-batch and with it the
+            # boundary-save floor of B_micro*L*D*bf16/n_chips). The round-4
+            # tp2/accum1 shape OOMed: a 41 GiB un-accumulated boundary slab
+            # + 48% allocator fragmentation (docs/aot_scale_r5.json,
+            # docs/performance.md "Pod-scale AOT evidence").
             ("configs/train/ttt-mlp/63s.toml", "v5p", None),
         ]
     else:

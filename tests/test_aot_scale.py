@@ -44,7 +44,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     reason="~45-60 min topology compile; set TTT_RUN_AOT_TEST=1 to run",
 )
 def test_63s_pod_config_aot_compiles(tmp_path):
-    out_json = tmp_path / "aot.jsonl"
+    # TTT_AOT_ARTIFACT redirects the JSON row to a stable path so a manual /
+    # nightly run leaves a committable artifact (tests/artifacts/aot_63s_ci.jsonl).
+    artifact = os.environ.get("TTT_AOT_ARTIFACT")
+    out_json = __import__("pathlib").Path(artifact) if artifact else tmp_path / "aot.jsonl"
+    if artifact and out_json.exists():
+        out_json.unlink()
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     proc = subprocess.run(
         [sys.executable, "scripts/aot_scale_check.py",
