@@ -100,7 +100,7 @@ def main():
             [sys.executable, "scripts/fabricated_conversion_check.py",
              "--layers", str(args.layers), "--dim", "3072",
              "--workdir", args.workdir, "--keep"],
-            cwd=REPO, capture_output=True, text=True, timeout=3600,
+            cwd=REPO, capture_output=True, text=True, timeout=10800,
         )
         print(proc.stdout[-2000:])
         assert proc.returncode == 0, f"conversion failed:\n{proc.stderr[-3000:]}"
@@ -142,7 +142,7 @@ def main():
         cmd += ["--job.platform", args.platform]
     print("running:", " ".join(cmd), flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, timeout=5400)
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, timeout=10800)
     wall = time.time() - t0
     print(proc.stdout[-1500:])
     assert proc.returncode == 0, f"sample.py failed:\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-3000:]}"
