@@ -142,7 +142,8 @@ def count_collectives(hlo: str) -> dict:
 
 
 def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
-              overrides: list[str] | None = None, layers: int | None = None) -> dict:
+              overrides: list[str] | None = None, layers: int | None = None,
+              lower_only: bool = False) -> dict:
     """``layers`` overrides the preset depth AFTER config resolution (the CI
     test compiles the real 63 s stage config at 2 layers so the topology
     compile stays minutes, not tens of minutes — every sharding rule, kernel
@@ -215,6 +216,33 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
     with use_mesh(mesh):
         lowered = jax.jit(step, donate_argnums=0).lower(state_abs, batch_abs, rng_abs)
         t_lower = time.time() - t0
+        if lower_only:
+            # Probe mode: skip the (hour-scale) compile and report the
+            # sharding annotations attached to the transformer-stream
+            # activations — the tensors a rematted scan boundary will save.
+            # A "[1,1,tp]..." (or token-axis) device assignment here is what
+            # keeps the 42-layer boundary-save slab tp-sharded; "replicated"
+            # reproduces the row-A 82 GiB OOM.
+            import collections
+
+            vid_tokens = cfg.compressed_num_frames * cfg.tokens_per_frame
+            # Match both sharding-annotation dialects: Shardy
+            # (sdy.sharding_constraint <@mesh, [...]>) and GSPMD
+            # (custom_call @Sharding {mhlo.sharding = "..."}).
+            pat = re.compile(
+                r'(?:sdy\.sharding_constraint [^<]*<@mesh, (\[[^\]]*\]\]?)>'
+                r'|mhlo\.sharding = "([^"]+)")[^\n]*tensor<\d+x%dx%dx'
+                % (vid_tokens, cfg.model_dim)
+            )
+            counts = collections.Counter(
+                m.group(1) or m.group(2) for m in pat.finditer(lowered.as_text())
+            )
+            return dict(
+                config=config_file, chip=chip, mesh=dict(mesh.shape),
+                model=f"{job.model.size} {cfg.num_layers}L d{cfg.model_dim} {cfg.ssm_layer}",
+                seq_tokens=seq, lower_s=round(t_lower, 1), lower_only=True,
+                stream_shardings={k: v for k, v in counts.most_common(8)},
+            )
         t1 = time.time()
         # GSPMD prints partitioning-quality warnings to the C++ stderr stream;
         # capture the fd, not sys.stderr.
@@ -302,6 +330,9 @@ def main():
     ap.add_argument("-o", "--override", action="append", default=[], help="extra --section.field args")
     ap.add_argument("--layers", type=int, default=None,
                     help="override preset depth (CI-speed compiles of the real configs)")
+    ap.add_argument("--lower-only", action="store_true",
+                    help="stop after lowering; report the sharding annotations on the "
+                         "transformer-stream (boundary-save) activations instead of compiling")
     args = ap.parse_args()
 
     jobs = []
@@ -327,7 +358,8 @@ def main():
     rows = []
     for config_file, chip, par in jobs:
         print(f"== AOT {config_file} on {chip} par={par or 'from-config'} ...", flush=True)
-        row = aot_check(config_file, chip, par, overrides=list(args.override), layers=args.layers)
+        row = aot_check(config_file, chip, par, overrides=list(args.override), layers=args.layers,
+                        lower_only=args.lower_only)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -75,3 +75,30 @@ def test_maybe_shard_drops_non_dividing_axes():
     assert "tensor" not in str(ys.sharding.spec), ys.sharding
     # Batch axis still sharded in both.
     assert "replica" in str(ys.sharding.spec) and "fsdp" in str(ys.sharding.spec)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_boundary_token_or_feature_fallback(rng):
+    """The scan/group boundary save must ALWAYS shed its tp factor: token
+    axis when tp divides it, else the feature axis. Regression for the 63 s
+    tp=4 AOT OOM (341,550 tokens % 4 != 0 silently dropped the constraint
+    and replicated an 82 GiB slab per chip — docs/aot_scale_r5.json row A
+    pre-fix)."""
+    from ttt_video_dit_tpu.parallel.mesh import shard_boundary
+
+    def at(spec, i):
+        return spec[i] if i < len(spec) else None
+
+    mesh = build_mesh(dp_replicate=1, dp_sharding=2, tp_sharding=4)
+    with use_mesh(mesh):
+        # Tokens divide tp=4: token-axis (sequence-parallel) sharding.
+        x = jnp.zeros((2, 8, 16))
+        spec = jax.jit(shard_boundary)(x).sharding.spec
+        assert at(spec, 1) == "tensor" and at(spec, 2) is None, spec
+        # Tokens % 4 != 0 (the 63 s case scaled down): feature axis takes tp.
+        y = jnp.zeros((2, 6, 16))
+        spec = jax.jit(shard_boundary)(y).sharding.spec
+        assert at(spec, 1) is None and at(spec, 2) == "tensor", spec
+        # Neither axis divides: batch-only (graceful drop, no crash).
+        z = jnp.zeros((2, 6, 18))
+        jax.jit(shard_boundary)(z).block_until_ready()

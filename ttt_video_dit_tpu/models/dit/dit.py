@@ -32,7 +32,7 @@ from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
 from ttt_video_dit_tpu.ops.attention import attention
 from ttt_video_dit_tpu.ops.ln import gelu_tanh
 from ttt_video_dit_tpu.ops.rope import apply_rope_prefixed, precompute_rope_3d
-from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
+from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard, shard_boundary
 
 _init_normal = nn.initializers.normal(stddev=0.02)
 
@@ -406,13 +406,17 @@ class _ScanLayerBody(nn.Module):
         vid, text, t_emb = carry
         if self.config.shard_transformer_inputs:
             # Pin the scan carry (= the tensors a rematted body saves per
-            # layer) to batch x token sharding. At 63 s the per-layer
-            # boundary save is [B, 352k, D] bf16 = 138.6 GB global: its
-            # per-chip floor is B*L*D*2 / n_chips no matter the mesh shape,
-            # and leaving the token axis unsharded multiplies that by tp.
-            # Mirrors the unrolled path's between-group constraint below.
-            vid = maybe_shard(vid, DATA, TENSOR, None)
-            text = maybe_shard(text, DATA, TENSOR, None)
+            # layer) to batch x token-or-feature sharding. At 63 s the
+            # per-layer boundary save is [B, 342k, D] bf16 = 138.6 GB
+            # global: its per-chip floor is B*L*D*2 / n_chips no matter the
+            # mesh shape, and leaving BOTH token and feature axes unsharded
+            # multiplies that by tp (the 82 GiB row-A slab,
+            # docs/aot_scale_r5.json). shard_boundary picks the token axis
+            # when tp divides it, else the feature axis (341,550 tokens
+            # divide 2 but not 4). Mirrors the unrolled path's
+            # between-group constraint below.
+            vid = shard_boundary(vid)
+            text = shard_boundary(text)
         vid, text = TransformerLayer(self.config, name="layer")(vid, text, t_emb, self.meta)
         return (vid, text, t_emb), None
 
@@ -573,8 +577,8 @@ class DiffusionTransformer(nn.Module):
                     return v, t
 
                 if cfg.shard_transformer_inputs:
-                    vid_emb = maybe_shard(vid_emb, DATA, TENSOR, None)
-                    text_emb = maybe_shard(text_emb, DATA, TENSOR, None)
+                    vid_emb = shard_boundary(vid_emb)
+                    text_emb = shard_boundary(text_emb)
                 group_fn = (
                     _remat(group_forward, cfg) if cfg.remat_transformer_layers else group_forward
                 )

@@ -89,6 +89,29 @@ def target_platform() -> str:
     return jax.default_backend()
 
 
+def shard_boundary(x):
+    """Shard a ``[B, L, D]`` activation that a rematted scan/group boundary
+    will SAVE: batch over (replica, fsdp), and the tensor axis on the token
+    dim when it divides — else on the feature dim.
+
+    The fallback is load-bearing at 63 s under tp=4: the video stream is
+    341,550 tokens (253 frames x 1350), divisible by 2 but not 4, so the
+    token-axis constraint silently dropped (maybe_shard's divisibility
+    guard) and the 42-layer scan boundary save materialized as an
+    UNSHARDED bf16[42, 1, 341550, 3072] = 82 GiB slab on every chip of a
+    v5p-128 (docs/aot_scale_r5.json, row A pre-fix). The feature dim D is a
+    multiple of every practical tp width, so the save always shrinks by tp;
+    GSPMD re-gathers features at the layer entry over ICI (same volume the
+    sequence-parallel layout already moves)."""
+    mesh = current_mesh()
+    if mesh is None:
+        return x
+    tp = mesh.shape.get(TENSOR, 1)
+    if tp > 1 and x.shape[1] % tp != 0 and x.shape[-1] % tp == 0:
+        return maybe_shard(x, DATA, None, TENSOR)
+    return maybe_shard(x, DATA, TENSOR, None)
+
+
 def maybe_shard(x, *spec):
     """Apply a sharding constraint if an ambient mesh is set; no-op otherwise.
 
