@@ -103,6 +103,13 @@ class PatchEmbedding(nn.Module):
         B, T, C, H, W = video.shape
 
         vid = jnp.transpose(video.reshape(B * T, C, H, W), (0, 2, 3, 1))  # NHWC
+        # Pin the frame-major patchify stream to the mesh: without these
+        # constraints GSPMD materialized the conv output (and its cotangent)
+        # fully replicated at 63 s scale — bf16[8096, 30, 45, 3072] = 62.5 GiB
+        # per chip on the v5e-256 tp8 row (docs/aot_scale_r5.json). The fused
+        # B*T axis is batch-major, so sharding it over DATA is exact batch
+        # sharding; the feature axis divides every practical tp width.
+        vid = maybe_shard(vid, DATA, None, None, None)
         vid = nn.Conv(
             cfg.model_dim,
             kernel_size=(cfg.patch_size, cfg.patch_size),
@@ -112,7 +119,9 @@ class PatchEmbedding(nn.Module):
             param_dtype=jnp.float32,
             name="vid_proj",
         )(vid.astype(dtype))
+        vid = maybe_shard(vid, DATA, None, None, TENSOR)
         vid = vid.reshape(B, T * (H // cfg.patch_size) * (W // cfg.patch_size), cfg.model_dim)
+        vid = shard_boundary(vid)
 
         text = nn.Dense(cfg.model_dim, dtype=dtype, param_dtype=jnp.float32, name="text_proj")(
             text_encoding.astype(dtype)
@@ -500,6 +509,7 @@ class FinalLayer(nn.Module):
             nn.silu(t_emb)
         )
         shift, scale = jnp.split(mod, 2, axis=-1)
+        vid_emb = shard_boundary(vid_emb)
         vid_emb = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
         )(vid_emb.astype(jnp.float32)).astype(dtype)
@@ -508,6 +518,9 @@ class FinalLayer(nn.Module):
 
         # Unpatchify: [B, (t h w), (c p q)] -> [B, t, c, h*p, w*q]
         # (feature ordered (c, p, q), reference: cogvideo/utils.py:155-171).
+        # Keep the stream batch-sharded through the reshape soup so the
+        # cotangent entering the backward pass is born sharded.
+        x = maybe_shard(x, DATA, None, None)
         B = x.shape[0]
         h = meta.latent_height // p
         w = meta.latent_width // p
