@@ -295,3 +295,39 @@ def test_sharded_train_step_emits_expected_collectives(rng, capfd):
     # re-gather regressions, which show up as hundreds of extra gathers.
     n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
     assert 0 < n_ag <= 140, f"unexpected all-gather count {n_ag}"
+
+
+def test_patchify_stream_is_sharding_constrained(rng):
+    """The frame-major patchify conv stream ([B*T, h, w, D]) must carry an
+    explicit sharding constraint: without one, GSPMD materialized it (and its
+    cotangent) fully replicated at 63 s pod scale — a bf16[8096,30,45,3072]
+    = 62.5 GiB per-chip slab that OOM'd the v5e-256 tp8 AOT row
+    (docs/aot_scale_r5.json; models/dit/dit.py PatchEmbedding)."""
+    import re
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, model = _build(adapter="sft", num_heads=4)
+    mesh = build_mesh(dp_replicate=2, dp_sharding=2, tp_sharding=2)
+    batch = _batch(cfg, B=4)
+
+    with use_mesh(mesh):
+        params = init_params(model, cfg, mesh, jax.random.PRNGKey(0), text_length=8)
+        tx, _, _ = opt_mod.build_optimizer(
+            opt_mod.partition_params(params, "sft")[0], lr=1e-3, lr_ssm=1e-3, lr_end=0.0,
+            warmup_steps=1, total_steps=10,
+        )
+        state = create_train_state(params, tx, "sft")
+        step_fn = jax.jit(make_train_step(model, tx, 1, 0.0), donate_argnums=0)
+        ir = step_fn.lower(state, batch, jax.random.PRNGKey(7)).as_text()
+
+    # Conv patchify output at this geometry: [B*T, h, w, D] = [52, 8, 8, 64].
+    # Accept either annotation dialect (Shardy constraint or GSPMD
+    # custom_call @Sharding) attached to that 4-D stream shape.
+    pat = re.compile(
+        r'(?:sdy\.sharding_constraint|mhlo\.sharding)[^\n]*tensor<52x8x8x64x'
+    )
+    assert pat.search(ir), (
+        "patchify conv stream [52,8,8,64] has no sharding constraint in the "
+        "lowered train step — the 63s-scale replicated-slab regression"
+    )
