@@ -226,22 +226,31 @@ def aot_check(config_file: str, chip: str, parallelism: tuple | None = None,
             import collections
 
             vid_tokens = cfg.compressed_num_frames * cfg.tokens_per_frame
+            ir_text = lowered.as_text()
+
             # Match both sharding-annotation dialects: Shardy
             # (sdy.sharding_constraint <@mesh, [...]>) and GSPMD
             # (custom_call @Sharding {mhlo.sharding = "..."}).
-            pat = re.compile(
-                r'(?:sdy\.sharding_constraint [^<]*<@mesh, (\[[^\]]*\]\]?)>'
-                r'|mhlo\.sharding = "([^"]+)")[^\n]*tensor<\d+x%dx%dx'
-                % (vid_tokens, cfg.model_dim)
-            )
-            counts = collections.Counter(
-                m.group(1) or m.group(2) for m in pat.finditer(lowered.as_text())
-            )
+            def count_stream(tokens):
+                pat = re.compile(
+                    r'(?:sdy\.sharding_constraint [^<]*<@mesh, (\[[^\]]*\]\]?)>'
+                    r'|mhlo\.sharding = "([^"]+)")[^\n]*tensor<\d+x%dx%dx'
+                    % (tokens, cfg.model_dim)
+                )
+                counts = collections.Counter(
+                    m.group(1) or m.group(2) for m in pat.finditer(ir_text)
+                )
+                return {k: v for k, v in counts.most_common(8)}
+
             return dict(
                 config=config_file, chip=chip, mesh=dict(mesh.shape),
                 model=f"{job.model.size} {cfg.num_layers}L d{cfg.model_dim} {cfg.ssm_layer}",
                 seq_tokens=seq, lower_s=round(t_lower, 1), lower_only=True,
-                stream_shardings={k: v for k, v in counts.most_common(8)},
+                # The video-only stream (what the scan boundary saves) and the
+                # full text+video stream (the TTT-layer-entry fan-out whose
+                # cotangent OOM'd the v5e-256 tp8 row when left replicated).
+                stream_shardings=count_stream(vid_tokens),
+                full_stream_shardings=count_stream(seq),
             )
         t1 = time.time()
         # GSPMD prints partitioning-quality warnings to the C++ stderr stream;

@@ -102,3 +102,48 @@ def test_shard_boundary_token_or_feature_fallback(rng):
         # Neither axis divides: batch-only (graceful drop, no crash).
         z = jnp.zeros((2, 6, 18))
         jax.jit(shard_boundary)(z).block_until_ready()
+
+
+def test_ttt_layer_entry_stream_is_sharding_constrained(rng):
+    """The [B, L, D] stream at TTT-layer entry (the QKVO/lr-gate fan-out)
+    must carry an explicit sharding constraint: without one, the lr-gate
+    einsum's backward d(hidden_states) = d(eta).lr_weight contracts over the
+    tensor-sharded head axis and GSPMD materializes the cotangent REPLICATED
+    in f32 — a 4.03 GiB/chip slab that OOM'd the 63 s v5e-256 tp8 AOT row
+    (docs/aot_scale_r5.json; models/ttt/layer.py)."""
+    import re
+
+    from ttt_video_dit_tpu.config.model_config import ModelConfig
+    from ttt_video_dit_tpu.models.sequence import SequenceMetadata
+    from ttt_video_dit_tpu.models.ttt.layer import TTTLayer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    meta = SequenceMetadata(text_length=8, num_frames=4, num_chunks=1,
+                            tokens_per_frame=16, latent_height=8, latent_width=8)
+    cfg = ModelConfig(
+        model_dim=64, num_heads=4, num_layers=1, ssm_layer="ttt_mlp",
+        mini_batch_size=8, latent_height=8, latent_width=8, text_dim=32,
+        time_embed_dim=32, scan_checkpoint_group_size=4, dtype="float32",
+        use_kernel=False,
+    )
+    layer = TTTLayer(cfg)
+    L = meta.seq_text_length + meta.num_video_tokens
+    x = jnp.asarray(rng.standard_normal((2, L, 64)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x, meta)
+
+    mesh = build_mesh(dp_replicate=1, dp_sharding=4, tp_sharding=2)
+    with use_mesh(mesh):
+        loss = lambda p, x: jnp.sum(layer.apply(p, x, meta) ** 2)
+        ir = jax.jit(jax.grad(loss)).lower(params, x).as_text()
+
+    # The isolated layer has exactly one 3-D [B, L, D] stream — the entry
+    # fan-out (projections/eta reshape to 4-D/5-D before their constraints),
+    # so any constraint on tensor<2x{L}x64> is the entry one.
+    pat = re.compile(
+        r'(?:sdy\.sharding_constraint|mhlo\.sharding)[^\n]*tensor<2x%dx64x' % L
+    )
+    assert pat.search(ir), (
+        "TTT-layer-entry [B, L, D] stream has no sharding constraint in the "
+        "lowered grad — the 63s v5e-256 replicated-cotangent regression"
+    )

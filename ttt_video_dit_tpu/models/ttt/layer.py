@@ -26,7 +26,7 @@ from ttt_video_dit_tpu.ops.rope import (
     interleaved_tables_prefixed,
     precompute_rope_3d,
 )
-from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard
+from ttt_video_dit_tpu.parallel.mesh import DATA, TENSOR, maybe_shard, shard_boundary
 
 _init_normal = nn.initializers.normal(stddev=0.02)
 
@@ -149,6 +149,14 @@ class TTTLayer(nn.Module):
         permuted = meta.is_multiscene or reverse
         if permuted:
             hidden_states = interleave(hidden_states, meta, reverse)
+        # Pin the [B, L, D] stream at the QKVO/gate fan-out. The constraint is
+        # a no-op forward (the stream arrives with this sharding from the
+        # layer boundary) but its TRANSPOSE pins the summed cotangent: without
+        # it, the gate einsum's backward d(hidden_states) = d(eta)·lr_weight
+        # contracts over the tensor-sharded head axis and GSPMD materializes
+        # the cotangent REPLICATED in f32 — 4.03 GiB/chip at 63 s, the OOM
+        # culprit on the v5e-256 tp8 row (docs/aot_scale_r5.json).
+        hidden_states = shard_boundary(hidden_states)
 
         XQ = self.wq(hidden_states)  # [B, L, D]
         XK = self.wk(hidden_states)
