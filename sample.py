@@ -216,6 +216,14 @@ def main(job_config) -> None:
 
 
 if __name__ == "__main__":
+    import faulthandler
+    import signal
+
+    # Live stack dump on SIGUSR1 (kill -USR1 <pid>): long sampling runs on a
+    # tunnel-attached TPU can stall host-side (compile transport, readbacks);
+    # this makes a hung run diagnosable without a debugger.
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     from ttt_video_dit_tpu.config.job_config import JobConfig
 
     config = JobConfig(eval_mode=True)

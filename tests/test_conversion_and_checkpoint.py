@@ -126,6 +126,13 @@ def test_pretrained_save_load(rng, tmp_path):
 
     ckpt = Checkpointer(str(tmp_path / "unused"))
     loaded = ckpt.load_pretrained(path, jax.eval_shape(lambda: params))
+    # Leaves must be device-committed jax.Arrays, NOT host numpy: numpy jit
+    # arguments are re-staged host->device on EVERY call — at 5B width the
+    # e2e sampler re-transferred ~8.6 GB per denoise eval through the TPU
+    # tunnel until the host OOM-killed it (sharding-less Orbax templates
+    # restore as numpy without the device_put in load_pretrained).
+    for leaf in jax.tree.leaves(loaded):
+        assert isinstance(leaf, jax.Array), type(leaf)
     out_a = model.apply(params, vid, text, jax.random.PRNGKey(2), bounds)
     out_b = model.apply(loaded, vid, text, jax.random.PRNGKey(2), bounds)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

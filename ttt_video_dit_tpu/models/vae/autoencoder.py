@@ -188,7 +188,11 @@ class VideoAutoencoder:
         dec_cfg = VaeModelConfig.get_decoder_config(version)
         vae = cls(enc_cfg, dec_cfg, scale_factor=scale_factor, mesh=mesh)
         enc_params, dec_params = load_torch_vae_checkpoint(path)
-        vae.enc_params, vae.dec_params = {"params": enc_params}, {"params": dec_params}
+        # Commit once to device: numpy param trees are re-staged host->device
+        # on every jitted encode/decode call (one per spatial/temporal tile
+        # under SafeConv3d chunking) — pathological through the TPU tunnel.
+        pin = lambda tree: jax.tree.map(jnp.asarray, tree)
+        vae.enc_params, vae.dec_params = {"params": pin(enc_params)}, {"params": pin(dec_params)}
         return vae
 
     @classmethod

@@ -71,13 +71,21 @@ class Checkpointer:
         ckptr = ocp.StandardCheckpointer()
         path = os.path.abspath(path)
         try:
-            return ckptr.restore(path, abstract_params)
+            restored = ckptr.restore(path, abstract_params)
         except Exception:
             swapped = _swap_layer_layout(abstract_params)
             if swapped is None:
                 raise
             alt_template, convert = swapped
-            return convert(ckptr.restore(path, alt_template))
+            restored = convert(ckptr.restore(path, alt_template))
+        # Commit the weights to device ONCE. Orbax restores a sharding-less
+        # template (single-chip sampling) as HOST numpy, and numpy jit
+        # arguments are re-staged on EVERY call — at 5B width that is ~8.6 GB
+        # of host->device traffic per denoise eval, which through the TPU
+        # tunnel ran at ~2.6 GB/min and piled up staged host buffers until
+        # the OOM killer fired (observed twice at 63 s e2e sampling). A
+        # no-op for sharded restores (already committed jax.Arrays).
+        return jax.device_put(restored)
 
 
 def _swap_layer_layout(abstract_params):
